@@ -1,0 +1,8 @@
+"""Physics models: flow simulators, immersed bodies, rods, rigid bodies.
+
+Counterpart of /root/reference/sopht_mpi/simulator/ (L3 in SURVEY.md) plus
+the external PyElastica structural-dynamics dependency, re-implemented in
+JAX so the whole FSI step jits.
+"""
+
+from sopht_mpi_tpu.models.flow.simulator_2d import UnboundedFlowSimulator2D

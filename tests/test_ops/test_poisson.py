@@ -1,0 +1,125 @@
+"""Unbounded Poisson solver tests.
+
+Oracle 1: the Hockney-Eastwood doubled-domain FFT convolution equals the
+direct O(N^2) Green's-function sum exactly - validate against a brute-force
+numpy sum on small grids (this plays the role of the reference's serial
+PYFFTW oracle, tests/.../test_unbounded_poisson_solver_mpi_2d.py).
+Oracle 2: physical far-field behavior of a compact 3D blob.
+Oracle 3: sharded == single-device.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sopht_mpi_tpu.ops import UnboundedPoissonSolver2D, UnboundedPoissonSolver3D
+from sopht_mpi_tpu.parallel import create_mesh, shard_scalar_field
+from sopht_mpi_tpu.utils import get_real_t, get_test_tol
+
+
+def _greens_2d(r, dx):
+    with np.errstate(divide="ignore"):
+        g = -np.log(r) / (2 * np.pi)
+    g[r == 0] = -(2 * np.log(dx / np.sqrt(np.pi)) - 1) / (4 * np.pi)
+    return g
+
+
+def _greens_3d(r, dx):
+    with np.errstate(divide="ignore"):
+        g = 1.0 / (4 * np.pi * r)
+    g[r == 0] = 1.0 / (4 * np.pi * dx)
+    return g
+
+
+def test_poisson_2d_matches_direct_sum(precision):
+    real_t = get_real_t(precision)
+    n = 16
+    solver = UnboundedPoissonSolver2D(n, n, x_range=1.0, real_t=real_t)
+    dx = solver.dx
+    rng = np.random.default_rng(0)
+    rhs = rng.standard_normal((n, n)).astype(np.dtype(real_t))
+
+    out = np.asarray(solver.solve(jnp.asarray(rhs)))
+
+    x = np.arange(n) * dx
+    X, Y = np.meshgrid(x, x)  # [y, x] grid positions (same spacing both)
+    ref = np.zeros_like(rhs, dtype=np.float64)
+    for i in range(n):
+        for j in range(n):
+            r = np.sqrt((X - X[i, j]) ** 2 + (Y - Y[i, j]) ** 2)
+            ref[i, j] = np.sum(_greens_2d(r, dx) * rhs) * dx**2
+    tol = 100 * get_test_tol(precision)
+    np.testing.assert_allclose(out, ref, atol=tol * np.abs(ref).max())
+
+
+def test_poisson_3d_matches_direct_sum(precision):
+    real_t = get_real_t(precision)
+    n = 8
+    solver = UnboundedPoissonSolver3D(n, n, n, x_range=1.0, real_t=real_t)
+    dx = solver.dx
+    rng = np.random.default_rng(1)
+    rhs = rng.standard_normal((n, n, n)).astype(np.dtype(real_t))
+
+    out = np.asarray(solver.solve(jnp.asarray(rhs)))
+
+    idx = np.arange(n) * dx
+    Z, Y, X = np.meshgrid(idx, idx, idx, indexing="ij")
+    ref = np.zeros_like(rhs, dtype=np.float64)
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                r = np.sqrt(
+                    (X - X[i, j, k]) ** 2
+                    + (Y - Y[i, j, k]) ** 2
+                    + (Z - Z[i, j, k]) ** 2
+                )
+                ref[i, j, k] = np.sum(_greens_3d(r, dx) * rhs) * dx**3
+    tol = 100 * get_test_tol(precision)
+    np.testing.assert_allclose(out, ref, atol=tol * np.abs(ref).max())
+
+
+def test_poisson_3d_far_field_physical():
+    """Compact blob: potential far from it approaches Q/(4 pi r)."""
+    n = 64
+    solver = UnboundedPoissonSolver3D(n, n, n, x_range=1.0, real_t=jnp.float64)
+    dx = solver.dx
+    x = (np.arange(n) + 0.5) * dx
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    sigma = 0.03
+    r2 = (X - 0.5) ** 2 + (Y - 0.5) ** 2 + (Z - 0.5) ** 2
+    rhs = np.exp(-r2 / (2 * sigma**2))
+    sol = np.asarray(solver.solve(jnp.asarray(rhs)))
+    total = rhs.sum() * dx**3
+    # probe at distance 0.3 from the blob center
+    i = int(0.8 / dx)
+    r_probe = np.sqrt(
+        (X[i, n // 2, n // 2] - 0.5) ** 2
+        + (Y[i, n // 2, n // 2] - 0.5) ** 2
+        + (Z[i, n // 2, n // 2] - 0.5) ** 2
+    )
+    expected = total / (4 * np.pi * r_probe)
+    np.testing.assert_allclose(sol[i, n // 2, n // 2], expected, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "dim,mesh_shape", [(2, (8, 1)), (2, (4, 1)), (3, (8, 1)), (3, (4, 2))]
+)
+def test_poisson_sharded_matches_single(dim, mesh_shape):
+    n = 16
+    rng = np.random.default_rng(5)
+    if dim == 2:
+        rhs = rng.standard_normal((n, n))
+        single = UnboundedPoissonSolver2D(n, n, real_t=jnp.float64)
+        mesh = create_mesh(2, mesh_shape)
+        multi = UnboundedPoissonSolver2D(n, n, real_t=jnp.float64, mesh=mesh)
+    else:
+        rhs = rng.standard_normal((n, n, n))
+        single = UnboundedPoissonSolver3D(n, n, n, real_t=jnp.float64)
+        mesh = create_mesh(3, mesh_shape)
+        multi = UnboundedPoissonSolver3D(n, n, n, real_t=jnp.float64, mesh=mesh)
+
+    out_single = np.asarray(single.solve(jnp.asarray(rhs)))
+    rhs_sharded = shard_scalar_field(jnp.asarray(rhs), mesh)
+    out_multi = np.asarray(jax.jit(multi.solve)(rhs_sharded))
+    np.testing.assert_allclose(out_multi, out_single, atol=1e-12)

@@ -1,0 +1,85 @@
+"""Distributed FFT vs numpy oracle (the role the reference's
+tests/test_numeric/.../test_fft_mpi_2d.py plays against scipy.fft)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sopht_mpi_tpu.parallel import (
+    create_mesh,
+    distributed_irfftn,
+    distributed_rfftn,
+    shard_scalar_field,
+)
+from sopht_mpi_tpu.utils import get_real_t, get_test_tol
+
+
+def _np_fourier_layout(field):
+    """Numpy reference in the framework's Fourier layout: rfft along x,
+    full fft along remaining axes."""
+    out = np.fft.rfft(field, axis=-1)
+    for ax in range(field.ndim - 2, -1, -1):
+        out = np.fft.fft(out, axis=ax)
+    return out
+
+
+@pytest.mark.parametrize("mesh_shape", [None, (8, 1), (4, 1), (2, 1)])
+def test_distributed_rfftn_2d(precision, mesh_shape):
+    real_t = get_real_t(precision)
+    ny, nx = 32, 16
+    rng = np.random.default_rng(42)
+    field = rng.standard_normal((ny, nx)).astype(np.dtype(real_t))
+
+    mesh = None if mesh_shape is None else create_mesh(2, mesh_shape)
+    f = shard_scalar_field(jnp.asarray(field), mesh)
+    fhat = jax.jit(lambda x: distributed_rfftn(x, mesh))(f)
+
+    ref = _np_fourier_layout(field)
+    nxf = nx // 2 + 1
+    np.testing.assert_allclose(
+        np.asarray(fhat)[:, :nxf], ref,
+        atol=get_test_tol(precision) * np.abs(ref).max(),
+    )
+    # padded columns exactly zero
+    np.testing.assert_array_equal(np.asarray(fhat)[:, nxf:], 0.0)
+
+
+@pytest.mark.parametrize("mesh_shape", [None, (8, 1), (4, 2), (2, 4)])
+def test_distributed_fft_roundtrip_3d(precision, mesh_shape):
+    real_t = get_real_t(precision)
+    nz, ny, nx = 16, 16, 8
+    rng = np.random.default_rng(7)
+    field = rng.standard_normal((nz, ny, nx)).astype(np.dtype(real_t))
+
+    mesh = None if mesh_shape is None else create_mesh(3, mesh_shape)
+    f = shard_scalar_field(jnp.asarray(field), mesh)
+
+    fhat = jax.jit(lambda x: distributed_rfftn(x, mesh))(f)
+    back = jax.jit(lambda x: distributed_irfftn(x, nx, mesh))(fhat)
+
+    ref = _np_fourier_layout(field)
+    nxf = nx // 2 + 1
+    np.testing.assert_allclose(
+        np.asarray(fhat)[..., :nxf], ref,
+        atol=get_test_tol(precision) * np.abs(ref).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(back), field, atol=get_test_tol(precision)
+    )
+
+
+def test_sharded_matches_single_device():
+    """Sharded pipeline must agree with the meshless path bit-for-bit-ish."""
+    ny, nx = 64, 32
+    rng = np.random.default_rng(0)
+    field = rng.standard_normal((ny, nx)).astype(np.float64)
+
+    mesh = create_mesh(2, (8, 1))
+    single = distributed_rfftn(jnp.asarray(field), None)
+    multi = jax.jit(lambda x: distributed_rfftn(x, mesh))(
+        shard_scalar_field(jnp.asarray(field), mesh)
+    )
+    np.testing.assert_allclose(
+        np.asarray(multi)[:, : nx // 2 + 1], np.asarray(single), atol=1e-10
+    )
