@@ -6,3 +6,12 @@ JAX so the whole FSI step jits.
 """
 
 from sopht_mpi_tpu.models.flow.simulator_2d import UnboundedFlowSimulator2D
+from sopht_mpi_tpu.models.rigid_body import Cylinder, RigidBodyState, Sphere
+from sopht_mpi_tpu.models.immersed_body import (
+    CircularCylinderForcingGrid,
+    EmptyForcingGrid,
+    ImmersedBodyForcingGrid,
+    ImmersedBodyFlowInteraction,
+    RigidBodyFlowInteraction,
+    SphereForcingGrid,
+)

@@ -44,3 +44,21 @@ from sopht_mpi_tpu.ops.poisson import (
     UnboundedPoissonSolver2D,
     UnboundedPoissonSolver3D,
 )
+from sopht_mpi_tpu.ops.ibm import (
+    INTERP_KERNEL_WIDTH,
+    cosine_delta_weights_1d,
+    eulerian_to_lagrangian_interpolation,
+    interpolation_weights,
+    lagrangian_to_eulerian_spread,
+    nearest_grid_index_and_support,
+    peskin_delta_weights_1d,
+)
+from sopht_mpi_tpu.ops.virtual_boundary import (
+    LagGridInteraction,
+    VirtualBoundaryForcingParams,
+    VirtualBoundaryState,
+    compute_interaction_force_on_eul_and_lag_grid,
+    compute_interaction_force_on_lag_grid,
+    init_virtual_boundary_state,
+    virtual_boundary_time_step,
+)

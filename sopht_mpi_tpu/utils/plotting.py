@@ -1,0 +1,74 @@
+"""Plotting helpers: diverging orange-blue colormap and a field plotter.
+
+Counterpart of the reference's ``lab_cmap`` (sopht_mpi/utils/lab_cmap.py)
+and ``MPIPlotter2D`` (mpi_utils_2d.py:715-841). In the single-controller
+model no gather choreography is needed - fields are pulled to host with
+``np.asarray``. Like the reference, intended for debug-scale snapshots.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _build_lab_cmap():
+    from matplotlib.colors import LinearSegmentedColormap
+
+    # diverging blue -> white -> orange (the reference's lab palette spirit)
+    return LinearSegmentedColormap.from_list(
+        "lab_cmap",
+        [
+            (0.0, (0.0, 0.27, 0.62)),
+            (0.5, (1.0, 1.0, 1.0)),
+            (1.0, (0.93, 0.41, 0.0)),
+        ],
+    )
+
+
+try:  # matplotlib optional
+    lab_cmap = _build_lab_cmap()
+except Exception:  # pragma: no cover
+    lab_cmap = None
+
+
+class Plotter2D:
+    """Minimal matplotlib wrapper mirroring MPIPlotter2D's surface
+    (contourf/scatter/plot/savefig/clearfig). Fields may be sharded jax
+    arrays; they are gathered to host for rendering. Debug-scale only
+    (the reference warns the same, mpi_utils_2d.py:721-723)."""
+
+    def __init__(self, fig_size=(10, 10), title=""):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self.fig = plt.figure(frameon=True, dpi=150, figsize=fig_size)
+        self.ax = self.fig.add_subplot(111)
+        self.ax.set_title(title)
+        self.ax.set_aspect(aspect="equal")
+
+    def contourf(self, x, y, field, *args, **kwargs):
+        kwargs.setdefault("cmap", lab_cmap)
+        cobj = self.ax.contourf(
+            np.asarray(x), np.asarray(y), np.asarray(field), *args, **kwargs
+        )
+        self._cbar = self.fig.colorbar(mappable=cobj, ax=self.ax)
+
+    def scatter(self, x, y, *args, **kwargs):
+        self.ax.scatter(np.asarray(x), np.asarray(y), *args, **kwargs)
+
+    def plot(self, x, y, *args, **kwargs):
+        self.ax.plot(np.asarray(x), np.asarray(y), *args, **kwargs)
+
+    def savefig(self, file_name, *args, **kwargs):
+        self.fig.savefig(
+            file_name, bbox_inches="tight", pad_inches=0, *args, **kwargs
+        )
+
+    def clearfig(self):
+        self.ax.cla()
+        if getattr(self, "_cbar", None) is not None:
+            self._cbar.remove()
+            self._cbar = None

@@ -1,0 +1,194 @@
+"""IBM E<->L transfer + virtual boundary forcing tests (the role of the
+reference's tests/test_numeric/test_immersed_boundary_ops/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sopht_mpi_tpu.ops import (
+    VirtualBoundaryForcingParams,
+    compute_interaction_force_on_eul_and_lag_grid,
+    compute_interaction_force_on_lag_grid,
+    eulerian_to_lagrangian_interpolation,
+    init_virtual_boundary_state,
+    interpolation_weights,
+    lagrangian_to_eulerian_spread,
+    nearest_grid_index_and_support,
+    virtual_boundary_time_step,
+)
+from sopht_mpi_tpu.parallel import (
+    create_mesh,
+    shard_scalar_field,
+    shard_vector_field,
+)
+from sopht_mpi_tpu.utils import get_real_t, get_test_tol
+
+
+def _markers(grid_dim, n, precision, seed=0):
+    """Random markers well inside a unit domain."""
+    rng = np.random.default_rng(seed)
+    pos = 0.2 + 0.6 * rng.random((grid_dim, n))
+    return pos.astype(np.dtype(get_real_t(precision)))
+
+
+@pytest.mark.parametrize("grid_dim", [2, 3])
+@pytest.mark.parametrize("kind", ["cosine", "peskin"])
+def test_delta_partition_of_unity(grid_dim, kind, precision):
+    """sum_support w * dx^dim == 1 for any marker position (discrete delta
+    moment condition both kernels satisfy)."""
+    dx = 1.0 / 32
+    pos = jnp.asarray(_markers(grid_dim, 50, precision))
+    _, _, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    w = interpolation_weights(disp, dx, kind)
+    total = np.asarray(jnp.sum(w, axis=tuple(range(grid_dim))) * dx**grid_dim)
+    np.testing.assert_allclose(total, 1.0, atol=200 * get_test_tol(precision))
+
+
+def test_nearest_index_semantics():
+    dx = 1.0 / 16
+    # marker exactly at a grid node (node i at (i+0.5)dx)
+    pos = jnp.asarray([[4.5 * dx], [7.5 * dx]])
+    nearest, support_idx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    assert nearest[0, 0] == 4 and nearest[1, 0] == 7
+    # support = idx + (-1, 0, 1, 2)
+    np.testing.assert_array_equal(np.asarray(support_idx[0, :, 0]), [3, 4, 5, 6])
+    # displacement at the nearest node is 0
+    assert abs(float(disp[0, 1, 0])) < 1e-12
+
+
+@pytest.mark.parametrize("grid_dim", [2, 3])
+def test_interpolation_reproduces_linear_field(grid_dim):
+    """E->L interpolation of a linear field is exact for the cosine delta up
+    to its (second-order) moment error; test against tight tolerance."""
+    n_grid = 32
+    dx = 1.0 / n_grid
+    coords = (np.arange(n_grid) + 0.5) * dx
+    if grid_dim == 2:
+        X, Y = np.meshgrid(coords, coords)
+        field = (2.0 + 3.0 * X + 4.0 * Y)[None]
+        grids = [X, Y]
+    else:
+        Z, Y, X = np.meshgrid(coords, coords, coords, indexing="ij")
+        field = (2.0 + 3.0 * X + 4.0 * Y + 5.0 * Z)[None]
+        grids = [X, Y, Z]
+    pos = jnp.asarray(_markers(grid_dim, 20, "double", 3))
+    _, sidx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    w = interpolation_weights(disp, dx, "cosine")
+    out = np.asarray(
+        eulerian_to_lagrangian_interpolation(jnp.asarray(field), w, sidx, dx)
+    )[0]
+    p = np.asarray(pos)
+    expected = 2.0 + 3.0 * p[0] + 4.0 * p[1] + (5.0 * p[2] if grid_dim == 3 else 0)
+    np.testing.assert_allclose(out, expected, rtol=2e-3)
+
+
+@pytest.mark.parametrize("grid_dim", [2, 3])
+def test_spread_conserves_total(grid_dim, precision):
+    """sum(eul spread) == sum(lag values) (force conservation; the
+    reference's ghost-sum correctness contract)."""
+    n_grid = 32
+    dx = 1.0 / n_grid
+    pos = jnp.asarray(_markers(grid_dim, 17, precision, 4))
+    _, sidx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    w = interpolation_weights(disp, dx, "cosine")
+    lag = jnp.asarray(_markers(grid_dim, 17, precision, 5))
+    eul = jnp.zeros((grid_dim,) + (n_grid,) * grid_dim, dtype=lag.dtype)
+    out = np.asarray(lagrangian_to_eulerian_spread(eul, lag, w, sidx))
+    # spread weights integrate to 1/dx^dim per marker
+    np.testing.assert_allclose(
+        out.sum(axis=tuple(range(1, grid_dim + 1))) * dx**grid_dim,
+        np.asarray(lag).sum(axis=1),
+        rtol=1e-4,
+    )
+
+
+def test_virtual_boundary_forcing_formula(precision):
+    """Penalty force = k pos_mismatch + c vel_mismatch with
+    mismatch = flow - body (VirtualBoundaryForcingMPI.py:278-331)."""
+    real_t = get_real_t(precision)
+    n_grid, n = 32, 9
+    dx = 1.0 / n_grid
+    params = VirtualBoundaryForcingParams(
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-5.0,
+        grid_dim=2,
+        dx=dx,
+    )
+    pos = jnp.asarray(_markers(2, n, precision, 6))
+    body_vel = jnp.asarray(_markers(2, n, precision, 7))
+    rng = np.random.default_rng(8)
+    eul_vel = jnp.asarray(
+        rng.standard_normal((2, n_grid, n_grid)).astype(np.dtype(real_t))
+    )
+    state = init_virtual_boundary_state(n, 2, dtype=np.dtype(real_t))
+    state = state._replace(
+        position_mismatch=jnp.asarray(
+            rng.standard_normal((2, n)).astype(np.dtype(real_t))
+        )
+    )
+
+    interaction = compute_interaction_force_on_lag_grid(
+        state, eul_vel, pos, body_vel, params
+    )
+    # manual reference
+    _, sidx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    w = interpolation_weights(disp, dx, "cosine")
+    flow_vel = eulerian_to_lagrangian_interpolation(eul_vel, w, sidx, dx)
+    ref_force = -1e3 * np.asarray(state.position_mismatch) - 5.0 * (
+        np.asarray(flow_vel) - np.asarray(body_vel)
+    )
+    np.testing.assert_allclose(
+        np.asarray(interaction.lag_forcing), ref_force,
+        atol=10 * get_test_tol(precision),
+    )
+
+    # eul+lag variant with reset: spread equals manual spread onto zeros
+    eul_forcing = jnp.ones((2, n_grid, n_grid), dtype=np.dtype(real_t))
+    out_forcing, interaction2 = compute_interaction_force_on_eul_and_lag_grid(
+        state, eul_forcing, eul_vel, pos, body_vel, params,
+        reset_eul_grid_forcing_field=True,
+    )
+    ref_spread = lagrangian_to_eulerian_spread(
+        jnp.zeros_like(eul_forcing), interaction2.lag_forcing, w, sidx
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_forcing), np.asarray(ref_spread),
+        atol=10 * get_test_tol(precision),
+    )
+
+    # Euler-forward mismatch update
+    new_state = virtual_boundary_time_step(state, interaction.velocity_mismatch, 0.1)
+    np.testing.assert_allclose(
+        np.asarray(new_state.position_mismatch),
+        np.asarray(state.position_mismatch)
+        + 0.1 * np.asarray(interaction.velocity_mismatch),
+        atol=get_test_tol(precision),
+    )
+    assert float(new_state.time) == pytest.approx(0.1)
+
+
+def test_interpolate_then_spread_sharded_matches_single():
+    mesh = create_mesh(2, (8, 1))
+    n_grid, n = 64, 13
+    dx = 1.0 / n_grid
+    rng = np.random.default_rng(11)
+    eul = rng.standard_normal((2, n_grid, n_grid))
+    pos = jnp.asarray(_markers(2, n, "double", 12))
+    lag = jnp.asarray(rng.standard_normal((2, n)))
+
+    def roundtrip(eul_field):
+        _, sidx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+        w = interpolation_weights(disp, dx, "peskin")
+        interp = eulerian_to_lagrangian_interpolation(eul_field, w, sidx, dx)
+        spread = lagrangian_to_eulerian_spread(
+            jnp.zeros_like(eul_field), lag, w, sidx
+        )
+        return interp, spread
+
+    i_single, s_single = roundtrip(jnp.asarray(eul))
+    i_multi, s_multi = jax.jit(roundtrip)(
+        shard_vector_field(jnp.asarray(eul), mesh)
+    )
+    np.testing.assert_allclose(np.asarray(i_multi), np.asarray(i_single), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_multi), np.asarray(s_single), atol=1e-12)
