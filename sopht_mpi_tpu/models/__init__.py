@@ -6,6 +6,7 @@ JAX so the whole FSI step jits.
 """
 
 from sopht_mpi_tpu.models.flow.simulator_2d import UnboundedFlowSimulator2D
+from sopht_mpi_tpu.models.flow.simulator_3d import UnboundedFlowSimulator3D
 from sopht_mpi_tpu.models.rigid_body import Cylinder, RigidBodyState, Sphere
 from sopht_mpi_tpu.models.immersed_body import (
     CircularCylinderForcingGrid,
