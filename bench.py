@@ -37,15 +37,17 @@ def main():
     fsi_step, args = _build_fsi_case(grid_size=(GRID, GRID, GRID))
     step = jax.jit(fsi_step, donate_argnums=(0, 1))
 
-    flow_state, vb_state, lag_pos, lag_vel, dt, fsv = args
+    flow_state, vb_state, lag_pos, lag_vel, dt, fsv, greens = args
     # warmup / compile
-    flow_state, vb_state = step(flow_state, vb_state, lag_pos, lag_vel, dt, fsv)
+    flow_state, vb_state = step(
+        flow_state, vb_state, lag_pos, lag_vel, dt, fsv, greens
+    )
     jax.block_until_ready((flow_state, vb_state))
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         flow_state, vb_state = step(
-            flow_state, vb_state, lag_pos, lag_vel, dt, fsv
+            flow_state, vb_state, lag_pos, lag_vel, dt, fsv, greens
         )
     jax.block_until_ready((flow_state, vb_state))
     t1 = time.perf_counter()

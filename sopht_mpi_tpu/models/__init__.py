@@ -10,9 +10,24 @@ from sopht_mpi_tpu.models.flow.simulator_3d import UnboundedFlowSimulator3D
 from sopht_mpi_tpu.models.rigid_body import Cylinder, RigidBodyState, Sphere
 from sopht_mpi_tpu.models.immersed_body import (
     CircularCylinderForcingGrid,
+    CosseratRodElementCentricForcingGrid,
+    CosseratRodFlowInteraction,
+    CosseratRodSurfaceForcingGrid,
     EmptyForcingGrid,
     ImmersedBodyForcingGrid,
     ImmersedBodyFlowInteraction,
     RigidBodyFlowInteraction,
     SphereForcingGrid,
+)
+from sopht_mpi_tpu.models import elastica
+from sopht_mpi_tpu.models.elastica import (
+    AnalyticalLinearDamper,
+    BaseSystemCollection,
+    CosseratRod,
+    EndpointForces,
+    FlowForces,
+    GravityForces,
+    OneEndFixedBC,
+    PositionVerlet,
+    extend_stepper_interface,
 )

@@ -173,7 +173,9 @@ class UnboundedFlowSimulator2D:
         with_free_stream = self.with_free_stream_flow
         solver = getattr(self, "unbounded_poisson_solver", None)
 
-        def step(state: FlowState2D, dt, free_stream_velocity) -> FlowState2D:
+        def step(
+            state: FlowState2D, dt, free_stream_velocity, poisson_greens
+        ) -> FlowState2D:
             return flow_step_2d(
                 state,
                 dt,
@@ -184,9 +186,19 @@ class UnboundedFlowSimulator2D:
                 with_free_stream=with_free_stream,
                 penalty_zone_width=penalty_width,
                 poisson_solver=solver,
+                poisson_greens=poisson_greens,
             )
 
         self._step_fn = jax.jit(step)
+
+    @property
+    def _poisson_greens(self):
+        """The Fourier Green's function, passed as a traced jit argument so
+        the (2N)^dim/2-sized array never becomes a compiled-in constant."""
+        solver = getattr(self, "unbounded_poisson_solver", None)
+        if solver is None:
+            return jnp.zeros((), dtype=self.real_t)  # unused placeholder
+        return solver.fourier_greens_times_dx_pow_dim
 
     def _get_state(self) -> FlowState2D:
         return FlowState2D(
@@ -205,7 +217,11 @@ class UnboundedFlowSimulator2D:
     def time_step(self, dt, free_stream_velocity=(0.0, 0.0)):
         """Advance the flow by ``dt`` (reference :255-258)."""
         fsv = jnp.asarray(free_stream_velocity, dtype=self.real_t)
-        self._set_state(self._step_fn(self._get_state(), self.real_t(dt), fsv))
+        self._set_state(
+            self._step_fn(
+                self._get_state(), self.real_t(dt), fsv, self._poisson_greens
+            )
+        )
         self.time += float(dt)
 
     def compute_stable_timestep(self, dt_prefac=1.0, precision="single") -> float:
@@ -241,12 +257,12 @@ def advection_and_diffusion_timestep_2d(field, velocity, dt, *, dx, nu):
 
 
 def compute_velocity_from_vorticity_2d(
-    vorticity, *, dx, penalty_zone_width, poisson_solver
+    vorticity, *, dx, penalty_zone_width, poisson_solver, poisson_greens=None
 ):
     """Penalise vorticity toward the walls, solve for the streamfunction,
     curl it into the velocity (reference :273-282)."""
     vorticity = penalise_field_boundary_2d(vorticity, penalty_zone_width)
-    stream_func = poisson_solver.solve(vorticity)
+    stream_func = poisson_solver.solve(vorticity, poisson_greens)
     velocity = outplane_field_curl_2d(
         stream_func, jnp.asarray(0.5 / dx, vorticity.dtype)
     )
@@ -264,6 +280,7 @@ def flow_step_2d(
     with_free_stream,
     penalty_zone_width,
     poisson_solver,
+    poisson_greens=None,
 ) -> FlowState2D:
     """One full flow timestep; pure function, jit/scan-safe.
 
@@ -290,6 +307,7 @@ def flow_step_2d(
             dx=dx,
             penalty_zone_width=penalty_zone_width,
             poisson_solver=poisson_solver,
+            poisson_greens=poisson_greens,
         )
         if with_free_stream:
             velocity = add_fixed_val(velocity, free_stream_velocity)

@@ -194,10 +194,24 @@ class UnboundedFlowSimulator3D:
             poisson_solver=getattr(self, "unbounded_poisson_solver", None),
         )
 
-        def step(state: FlowState3D, dt, free_stream_velocity) -> FlowState3D:
-            return flow_step_3d(state, dt, free_stream_velocity, **cfg)
+        def step(
+            state: FlowState3D, dt, free_stream_velocity, poisson_greens
+        ) -> FlowState3D:
+            return flow_step_3d(
+                state, dt, free_stream_velocity,
+                poisson_greens=poisson_greens, **cfg,
+            )
 
         self._step_fn = jax.jit(step)
+
+    @property
+    def _poisson_greens(self):
+        """The Fourier Green's function, passed as a traced jit argument so
+        the (2N)^3/2-sized array never becomes a compiled-in constant."""
+        solver = getattr(self, "unbounded_poisson_solver", None)
+        if solver is None:
+            return jnp.zeros((), dtype=self.real_t)  # unused placeholder
+        return solver.fourier_greens_times_dx_pow_dim
 
     def _get_state(self) -> FlowState3D:
         return FlowState3D(
@@ -213,7 +227,11 @@ class UnboundedFlowSimulator3D:
 
     def time_step(self, dt, free_stream_velocity=(0.0, 0.0, 0.0)):
         fsv = jnp.asarray(free_stream_velocity, dtype=self.real_t)
-        self._set_state(self._step_fn(self._get_state(), self.real_t(dt), fsv))
+        self._set_state(
+            self._step_fn(
+                self._get_state(), self.real_t(dt), fsv, self._poisson_greens
+            )
+        )
         self.time += float(dt)
 
     def compute_stable_timestep(self, dt_prefac=1.0, precision="single") -> float:
@@ -243,11 +261,12 @@ class UnboundedFlowSimulator3D:
 def compute_flow_velocity_3d(
     vorticity, free_stream_velocity, *,
     dx, penalty_zone_width, poisson_solver, with_free_stream,
+    poisson_greens=None,
 ):
     """Wall-penalise vorticity -> vector Poisson -> curl -> free stream
     (reference :382-393). Returns (vorticity, velocity)."""
     vorticity = penalise_field_boundary_vector_3d(vorticity, penalty_zone_width)
-    stream_func = poisson_solver.vector_field_solve(vorticity)
+    stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
     velocity = curl_3d(stream_func, jnp.asarray(0.5 / dx, vorticity.dtype))
     if with_free_stream:
         velocity = add_fixed_val(velocity, free_stream_velocity)
@@ -267,6 +286,7 @@ def flow_step_3d(
     filter_order,
     filter_type,
     poisson_solver,
+    poisson_greens=None,
 ) -> FlowState3D:
     """One full 3D flow timestep (pure; jit/scan-safe). Ordering matches
     the reference dispatch (:327-413)."""
@@ -303,6 +323,7 @@ def flow_step_3d(
             penalty_zone_width=penalty_zone_width,
             poisson_solver=poisson_solver,
             with_free_stream=with_free_stream,
+            poisson_greens=poisson_greens,
         )
         if flow_type == "navier_stokes_with_forcing":
             forcing = jnp.zeros_like(forcing)

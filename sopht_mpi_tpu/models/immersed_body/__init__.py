@@ -4,7 +4,12 @@ from sopht_mpi_tpu.models.immersed_body.forcing_grids import (
     ImmersedBodyForcingGrid,
     SphereForcingGrid,
 )
+from sopht_mpi_tpu.models.immersed_body.rod_forcing_grids import (
+    CosseratRodElementCentricForcingGrid,
+    CosseratRodSurfaceForcingGrid,
+)
 from sopht_mpi_tpu.models.immersed_body.interaction import (
+    CosseratRodFlowInteraction,
     ImmersedBodyFlowInteraction,
     RigidBodyFlowInteraction,
 )

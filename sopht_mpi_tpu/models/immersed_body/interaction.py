@@ -174,3 +174,49 @@ class RigidBodyFlowInteraction(ImmersedBodyFlowInteraction):
     def __init__(self, flow_sim, rigid_body, forcing_grid, **kwargs):
         self.rigid_body = rigid_body
         super().__init__(flow_sim, forcing_grid, body_dim=1, **kwargs)
+
+
+class CosseratRodFlowInteraction(ImmersedBodyFlowInteraction):
+    """Cosserat rod interactor: body forces on nodes (3, n_elems+1),
+    torques on elements (3, n_elems)
+    (reference cosserat_rod_flow_interaction_mpi.py:10-68). The master-rank
+    / EmptyForcingGrid split of the reference disappears - markers are
+    replicated.
+
+    :param forcing_grid_cls: e.g. ``CosseratRodElementCentricForcingGrid``
+        (2D) or ``CosseratRodSurfaceForcingGrid`` (3D); extra kwargs (e.g.
+        ``surface_grid_density_for_largest_element``) are forwarded.
+    """
+
+    def __init__(
+        self,
+        flow_sim,
+        cosserat_rod,
+        virtual_boundary_stiffness_coeff,
+        virtual_boundary_damping_coeff,
+        forcing_grid_cls,
+        **kwargs,
+    ):
+        self.cosserat_rod = cosserat_rod
+        grid_kwargs = {
+            k: kwargs.pop(k)
+            for k in list(kwargs)
+            if k
+            in (
+                "surface_grid_density_for_largest_element",
+                "with_cap",
+                "num_forcing_points",
+            )
+        }
+        forcing_grid = forcing_grid_cls(cosserat_rod=cosserat_rod, **grid_kwargs)
+        super().__init__(
+            flow_sim,
+            forcing_grid,
+            virtual_boundary_stiffness_coeff,
+            virtual_boundary_damping_coeff,
+            body_dim=cosserat_rod.n_elems,
+            **kwargs,
+        )
+        dtype = np.dtype(flow_sim.real_t)
+        self.body_flow_forces = jnp.zeros((3, cosserat_rod.n_elems + 1), dtype)
+        self.body_flow_torques = jnp.zeros((3, cosserat_rod.n_elems), dtype)

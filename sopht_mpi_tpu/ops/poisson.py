@@ -81,16 +81,23 @@ class UnboundedPoissonSolver2D:
         scale = self.dx**self.grid_dim
         self.fourier_greens_times_dx_pow_dim = jnp.real(ghat) * scale
 
-    def solve(self, rhs_field):
+    def solve(self, rhs_field, greens=None):
         """Solve ``-del^2(solution) = rhs`` for an unbounded domain.
 
         Pure function of ``rhs_field`` (shape (ny, nx)); safe to call under
         jit and grad.
+
+        :param greens: optional explicit Fourier Green's function
+            (``self.fourier_greens_times_dx_pow_dim``). Pass it as a traced
+            jit argument to keep the large array out of the compiled
+            program's constants (it is ~(2N)^dim/2 floats).
         """
+        if greens is None:
+            greens = self.fourier_greens_times_dx_pow_dim
         ny, nx = self.grid_size_y, self.grid_size_x
         doubled = jnp.pad(rhs_field, ((0, ny), (0, nx)))
         fhat = distributed_rfftn(doubled, self.mesh)
-        fhat = fhat * self.fourier_greens_times_dx_pow_dim
+        fhat = fhat * greens
         sol = distributed_irfftn(fhat, nx=2 * nx, mesh=self.mesh)
         return sol[:ny, :nx]
 
@@ -136,16 +143,24 @@ class UnboundedPoissonSolver3D:
             self, greens.astype(np.dtype(real_t))
         )
 
-    def solve(self, rhs_field):
-        """Solve ``-del^2(solution) = rhs`` (shape (nz, ny, nx))."""
+    def solve(self, rhs_field, greens=None):
+        """Solve ``-del^2(solution) = rhs`` (shape (nz, ny, nx)).
+
+        :param greens: optional explicit Fourier Green's function; see
+            :meth:`UnboundedPoissonSolver2D.solve`.
+        """
+        if greens is None:
+            greens = self.fourier_greens_times_dx_pow_dim
         nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
         doubled = jnp.pad(rhs_field, ((0, nz), (0, ny), (0, nx)))
         fhat = distributed_rfftn(doubled, self.mesh)
-        fhat = fhat * self.fourier_greens_times_dx_pow_dim
+        fhat = fhat * greens
         sol = distributed_irfftn(fhat, nx=2 * nx, mesh=self.mesh)
         return sol[:nz, :ny, :nx]
 
-    def vector_field_solve(self, rhs_vector_field):
+    def vector_field_solve(self, rhs_vector_field, greens=None):
         """Component-wise solve for a (3, nz, ny, nx) vector field
         (UnboundedPoissonSolverMPI3D.py:169-187)."""
-        return jnp.stack([self.solve(rhs_vector_field[c]) for c in range(3)])
+        return jnp.stack(
+            [self.solve(rhs_vector_field[c], greens) for c in range(3)]
+        )
