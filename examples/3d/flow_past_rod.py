@@ -1,0 +1,246 @@
+"""Flow past a 3D flexible rod (filament bent by a free stream).
+
+Counterpart of /root/reference/examples/3d_examples/FlowPastRodCase/
+flow_past_rod_case.py (rod hanging into the flow, surface forcing grid,
+Laplacian vorticity filtering {"order": 1, "type": "multiplicative"},
+Cauchy/mass-ratio/Froude/stretch-bending nondimensional setup).
+
+Run:
+    python examples/3d/flow_past_rod.py --grid-size-x 64 --final-time 1
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def flow_past_rod_case(
+    n_elem=16,
+    grid_size=(64, 64, 128),
+    surface_grid_density_for_largest_element=16,
+    cauchy_number=0.1,
+    mass_ratio=100.0,
+    froude_number=0.5,
+    stretch_bending_ratio=None,
+    poisson_ratio=0.5,
+    reynolds=100.0,
+    coupling_stiffness=-2e5,
+    coupling_damping=-1e2,
+    rod_start_incline_angle=0.0,
+    precision="single",
+    mesh=None,
+    final_time=2.0,
+    save_data=False,
+):
+    import jax.numpy as jnp
+    from sopht_mpi_tpu.models import (
+        AnalyticalLinearDamper,
+        BaseSystemCollection,
+        CosseratRod,
+        CosseratRodFlowInteraction,
+        CosseratRodSurfaceForcingGrid,
+        FlowForces,
+        GravityForces,
+        OneEndFixedBC,
+        PositionVerlet,
+        UnboundedFlowSimulator3D,
+        extend_stepper_interface,
+    )
+    from sopht_mpi_tpu.utils import get_real_t, logger
+
+    grid_size_z, grid_size_y, grid_size_x = grid_size
+    real_t = get_real_t(precision)
+    rho_f = 1.0
+    u_free_stream = 1.0
+    base_length = 1.0
+    x_range = 1.8 * base_length
+    y_range = grid_size_y / grid_size_x * x_range
+    z_range = grid_size_z / grid_size_x * x_range
+    velocity_free_stream = [u_free_stream, 0.0, 0.0]
+
+    # ---- rod setup (reference flow_past_rod_case.py:50-100) ----
+    flow_past_sim = BaseSystemCollection()
+    start = np.array([0.2 * x_range, 0.5 * y_range, 0.75 * z_range])
+    direction = np.array(
+        [np.sin(rod_start_incline_angle), 0.0, -np.cos(rod_start_incline_angle)]
+    )
+    normal = np.array([0.0, 1.0, 0.0])
+    base_diameter = y_range / 5.0
+    base_radius = base_diameter / 2.0
+    base_area = np.pi * base_radius**2
+    rho_s = mass_ratio * rho_f
+    moment_of_inertia = np.pi / 4 * base_radius**4
+    youngs_modulus = (
+        rho_f * u_free_stream**2 * base_length**3 * base_diameter
+    ) / (cauchy_number * moment_of_inertia)
+    gravitational_acc = froude_number * u_free_stream**2 / base_diameter
+    # stretch-to-bending ratio EAL^2/EI; defaults to the physical value
+    # (es_eb = 1, no scaling) like the reference's experiment-matched driver
+    # (flow_past_rod_case.py:356-358 passes exp_Ks_Kb = A L^2 / I)
+    if stretch_bending_ratio is None:
+        stretch_bending_ratio = base_area * base_length**2 / moment_of_inertia
+    es_eb = stretch_bending_ratio * moment_of_inertia / (
+        base_area * base_length**2
+    )
+
+    flow_past_rod = CosseratRod.straight_rod(
+        n_elem,
+        start,
+        direction,
+        normal,
+        base_length,
+        base_radius,
+        rho_s,
+        youngs_modulus=youngs_modulus,
+        shear_modulus=youngs_modulus / (poisson_ratio + 1.0),
+    )
+    # stretch-to-bending stiffness scaling (reference :86)
+    flow_past_rod.params = flow_past_rod.params._replace(
+        shear_diag=flow_past_rod.params.shear_diag.at[2].mul(es_eb)
+    )
+    flow_past_sim.append(flow_past_rod)
+    flow_past_sim.constrain(flow_past_rod).using(
+        OneEndFixedBC,
+        constrained_position_idx=(0,),
+        constrained_director_idx=(0,),
+    )
+    flow_past_sim.add_forcing_to(flow_past_rod).using(
+        GravityForces, acc_gravity=np.array([0.0, 0.0, -gravitational_acc])
+    )
+    dl = base_length / n_elem
+    rod_dt = 0.01 * dl
+    flow_past_sim.dampen(flow_past_rod).using(
+        AnalyticalLinearDamper, damping_constant=1e-3, time_step=rod_dt
+    )
+
+    # ---- flow setup (vorticity filtering for stability, reference :114-115) ----
+    kinematic_viscosity = u_free_stream * base_diameter / reynolds
+    flow_sim = UnboundedFlowSimulator3D(
+        grid_size=grid_size,
+        x_range=x_range,
+        kinematic_viscosity=kinematic_viscosity,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+        real_t=real_t,
+        mesh=mesh,
+        filter_vorticity=True,
+        filter_setting_dict={"order": 1, "type": "multiplicative"},
+    )
+
+    # ---- coupling ----
+    cosserat_rod_flow_interactor = CosseratRodFlowInteraction(
+        flow_sim=flow_sim,
+        cosserat_rod=flow_past_rod,
+        virtual_boundary_stiffness_coeff=coupling_stiffness,
+        virtual_boundary_damping_coeff=coupling_damping,
+        forcing_grid_cls=CosseratRodSurfaceForcingGrid,
+        surface_grid_density_for_largest_element=(
+            surface_grid_density_for_largest_element
+        ),
+    )
+    flow_past_sim.add_forcing_to(flow_past_rod).using(
+        FlowForces, cosserat_rod_flow_interactor
+    )
+
+    if save_data:
+        from sopht_mpi_tpu.utils import CosseratRodIO, FieldBinding, FieldIO
+
+        io = FieldIO(dim=3, real_dtype=real_t)
+        io.define_eulerian_grid(
+            origin=np.array(
+                [
+                    float(flow_sim.position_field[2].min()),
+                    float(flow_sim.position_field[1].min()),
+                    float(flow_sim.position_field[0].min()),
+                ]
+            ),
+            dx=flow_sim.dx * np.ones(3),
+            grid_size=np.asarray(grid_size),
+        )
+        io.add_as_eulerian_fields_for_io(
+            vorticity=FieldBinding(flow_sim, "vorticity_field")
+        )
+        rod_io = CosseratRodIO(cosserat_rod=flow_past_rod, real_dtype=real_t)
+
+    # ---- time loop ----
+    flow_past_sim.finalize()
+    timestepper = PositionVerlet()
+    do_step, stages_and_updates = extend_stepper_interface(
+        timestepper, flow_past_sim
+    )
+    foto_timer = 0.0
+    foto_timer_limit = final_time / 50
+    tip_times, tip_positions = [], []
+
+    while flow_sim.time < final_time:
+        if foto_timer >= foto_timer_limit or foto_timer == 0:
+            foto_timer = 0.0
+            tip_times.append(flow_sim.time)
+            tip_positions.append(
+                np.asarray(flow_past_rod.position_collection[:, -1]).copy()
+            )
+            logger.info(
+                f"time: {flow_sim.time:.2f} "
+                f"({flow_sim.time / final_time * 100:2.1f}%), "
+                f"max_vort: {flow_sim.get_max_vorticity():.4f}, "
+                f"vort divg. L2: "
+                f"{flow_sim.get_vorticity_divergence_l2_norm():.4f}, "
+                "grid dev error: "
+                f"{cosserat_rod_flow_interactor.get_grid_deviation_error_l2_norm():.6f}"
+            )
+            if save_data:
+                io.save(
+                    h5_file_name=f"sopht_{int(flow_sim.time * 100):04d}.h5",
+                    time=flow_sim.time,
+                )
+                rod_io.save(
+                    h5_file_name=f"rod_{int(flow_sim.time * 100):04d}.h5",
+                    time=flow_sim.time,
+                )
+
+        flow_dt = flow_sim.compute_stable_timestep(dt_prefac=0.25)
+        rod_time_steps = int(flow_dt / min(flow_dt, rod_dt))
+        local_rod_dt = flow_dt / rod_time_steps
+        rod_time = flow_sim.time
+        for _ in range(rod_time_steps):
+            rod_time = do_step(
+                timestepper, stages_and_updates, flow_past_sim,
+                rod_time, local_rod_dt,
+            )
+            cosserat_rod_flow_interactor.time_step(dt=local_rod_dt)
+        cosserat_rod_flow_interactor()
+        flow_sim.time_step(dt=flow_dt, free_stream_velocity=velocity_free_stream)
+        foto_timer += flow_dt
+
+    return np.asarray(tip_times), np.asarray(tip_positions)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--final-time", type=float, default=2.0)
+    parser.add_argument("--grid-size-x", type=int, default=128)
+    parser.add_argument("--n-elem", type=int, default=None)
+    parser.add_argument("--n-devices", type=int, default=1)
+    parser.add_argument("--precision", default="single")
+    parser.add_argument("--save-data", action="store_true")
+    args = parser.parse_args()
+
+    mesh = None
+    if args.n_devices > 1:
+        from sopht_mpi_tpu.parallel import create_mesh
+
+        mesh = create_mesh(3, (args.n_devices, 1))
+    nx = args.grid_size_x
+    flow_past_rod_case(
+        n_elem=args.n_elem or nx // 8,
+        grid_size=(nx // 2, nx // 2, nx),
+        surface_grid_density_for_largest_element=nx // 8,
+        final_time=args.final_time,
+        precision=args.precision,
+        mesh=mesh,
+        save_data=args.save_data,
+    )

@@ -26,6 +26,7 @@ from sopht_mpi_tpu.models.elastica import (
     CosseratRod,
     EndpointForces,
     FlowForces,
+    GeneralConstraint,
     GravityForces,
     OneEndFixedBC,
     PositionVerlet,

@@ -28,6 +28,7 @@ from sopht_mpi_tpu.models.elastica.forcing import (
     EndpointForces,
     FlowForces,
     FreeBC,
+    GeneralConstraint,
     GravityForces,
     OneEndFixedBC,
 )

@@ -55,6 +55,54 @@ class FreeBC:
         return state
 
 
+class GeneralConstraint:
+    """Selective end constraint (PyElastica's ``GeneralConstraint``;
+    reference usage flow_past_freely_rotating_rod_case.py:84-91 fixes the
+    end translation fully but frees axial rotation).
+
+    :param translational_constraint_selector: (3,) bool, lab frame - which
+        node velocity/position components are fixed.
+    :param rotational_constraint_selector: (3,) bool, material frame -
+        which angular-velocity components are zeroed.
+    """
+
+    def __init__(
+        self,
+        fixed_position,
+        fixed_director,
+        translational_constraint_selector,
+        rotational_constraint_selector,
+        node_idx=0,
+        elem_idx=0,
+    ):
+        self.fixed_position = jnp.asarray(fixed_position)
+        self.t_sel = jnp.asarray(
+            np.asarray(translational_constraint_selector, bool)
+        )
+        self.r_sel = jnp.asarray(
+            np.asarray(rotational_constraint_selector, bool)
+        )
+        self.node_idx = node_idx
+        self.elem_idx = elem_idx
+
+    def constrain_values(self, state: CosseratRodState) -> CosseratRodState:
+        i = self.node_idx
+        pos = state.position.at[:, i].set(
+            jnp.where(self.t_sel, self.fixed_position, state.position[:, i])
+        )
+        return state._replace(position=pos)
+
+    def constrain_rates(self, state: CosseratRodState) -> CosseratRodState:
+        i, k = self.node_idx, self.elem_idx
+        vel = state.velocity.at[:, i].set(
+            jnp.where(self.t_sel, 0.0, state.velocity[:, i])
+        )
+        omega = state.omega.at[:, k].set(
+            jnp.where(self.r_sel, 0.0, state.omega[:, k])
+        )
+        return state._replace(velocity=vel, omega=omega)
+
+
 class GravityForces:
     """Uniform gravitational force on nodes: ``F_i = m_i g``.
 

@@ -132,23 +132,29 @@ class BaseSystemCollection:
         function per rod. ``OneEndFixedBC``-style constraints capture the
         *current* (initial) constrained values, matching PyElastica's
         finalize semantics."""
-        from sopht_mpi_tpu.models.elastica.forcing import OneEndFixedBC
+        from sopht_mpi_tpu.models.elastica.forcing import (
+            GeneralConstraint,
+            OneEndFixedBC,
+        )
 
         self._step_fns = []
         self._host_forcings = []
         for idx, rod in enumerate(self._systems):
             constraints = []
             for cls, args, kwargs in self._constraints.get(idx, []):
-                if cls is OneEndFixedBC:
+                if cls in (OneEndFixedBC, GeneralConstraint):
+                    # capture the current (initial) constrained values,
+                    # matching PyElastica's finalize semantics
                     kw = dict(kwargs)
                     node_idx = kw.pop("constrained_position_idx", (0,))[0]
                     elem_idx = kw.pop("constrained_director_idx", (0,))[0]
                     constraints.append(
-                        OneEndFixedBC(
+                        cls(
                             rod.state.position[:, node_idx],
                             rod.state.director[:, :, elem_idx],
                             node_idx=node_idx,
                             elem_idx=elem_idx,
+                            **kw,
                         )
                     )
                 else:

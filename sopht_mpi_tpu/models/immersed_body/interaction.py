@@ -159,6 +159,19 @@ class ImmersedBodyFlowInteraction:
             )
         )
 
+    @property
+    def position_mismatch(self):
+        """Penalty position-mismatch field (the IBM state to checkpoint for
+        exact FSI restarts, reference
+        flow_past_freely_rotating_rod_case.py:199-246)."""
+        return self.state.position_mismatch
+
+    @position_mismatch.setter
+    def position_mismatch(self, value):
+        self.state = self.state._replace(
+            position_mismatch=jnp.asarray(value, self.state.position_mismatch.dtype)
+        )
+
     def get_grid_deviation_error_l2_norm(self) -> float:
         """L2 norm of the flow-body grid deviation (reference :177-202)."""
         num = max(self.forcing_grid.num_lag_nodes, 1)
