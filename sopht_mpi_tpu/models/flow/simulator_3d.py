@@ -264,7 +264,13 @@ def compute_flow_velocity_3d(
     poisson_greens=None,
 ):
     """Wall-penalise vorticity -> vector Poisson -> curl -> free stream
-    (reference :382-393). Returns (vorticity, velocity)."""
+    (reference :382-393). Returns (vorticity, velocity).
+
+    (The fully spectral fused curl,
+    ``UnboundedPoissonSolver3D.velocity_from_vorticity_spectral``, is
+    numerically identical but measured slower on TPU: the curl then acts on
+    the 8x-larger doubled spectral arrays instead of the truncated real
+    ones.)"""
     vorticity = penalise_field_boundary_vector_3d(vorticity, penalty_zone_width)
     stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
     velocity = curl_3d(stream_func, jnp.asarray(0.5 / dx, vorticity.dtype))

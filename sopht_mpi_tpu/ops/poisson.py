@@ -31,6 +31,34 @@ from sopht_mpi_tpu.parallel.fft import (
 )
 
 
+# -- fast single-device free-space convolution transforms --------------------
+#
+# The doubled-domain FFT operates on a zero-padded input and only the first
+# N cells of the inverse are kept. Padding each axis lazily (jnp.fft's ``n=``
+# argument) and truncating each axis as early as possible means the first
+# forward pass touches 1/4 of the doubled volume and the second 1/2 (and
+# mirrored on the inverse) - ~40% less memory traffic than transforming the
+# monolithically padded cube, which is the entire cost of the solve on TPU.
+
+
+def _padded_rfftn_local(field, doubled: tuple[int, ...]):
+    nd = field.ndim
+    out = jnp.fft.rfft(field, n=doubled[-1], axis=nd - 1)
+    for ax in range(nd - 2, -1, -1):
+        out = jnp.fft.fft(out, n=doubled[ax], axis=ax)
+    return out
+
+
+def _truncated_irfftn_local(fourier, out_shape: tuple[int, ...]):
+    nd = fourier.ndim
+    out = fourier
+    for ax in range(nd - 1):
+        out = jnp.fft.ifft(out, axis=ax)
+        out = jax.lax.slice_in_dim(out, 0, out_shape[ax], axis=ax)
+    out = jnp.fft.irfft(out, n=2 * out_shape[-1], axis=nd - 1)
+    return jax.lax.slice_in_dim(out, 0, out_shape[-1], axis=nd - 1)
+
+
 def _even_reflected_axis_dist(n_doubled: int, dx: float, axis_range: float, dtype):
     """Per-axis distance ``min(x, 2 L - x)`` on the doubled grid."""
     x = np.arange(n_doubled, dtype=np.float64) * dx
@@ -95,6 +123,9 @@ class UnboundedPoissonSolver2D:
         if greens is None:
             greens = self.fourier_greens_times_dx_pow_dim
         ny, nx = self.grid_size_y, self.grid_size_x
+        if self.mesh is None or self.mesh.size == 1:
+            fhat = _padded_rfftn_local(rhs_field, (2 * ny, 2 * nx))
+            return _truncated_irfftn_local(fhat * greens, (ny, nx))
         doubled = jnp.pad(rhs_field, ((0, ny), (0, nx)))
         fhat = distributed_rfftn(doubled, self.mesh)
         fhat = fhat * greens
@@ -152,6 +183,9 @@ class UnboundedPoissonSolver3D:
         if greens is None:
             greens = self.fourier_greens_times_dx_pow_dim
         nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
+        if self.mesh is None or self.mesh.size == 1:
+            fhat = _padded_rfftn_local(rhs_field, (2 * nz, 2 * ny, 2 * nx))
+            return _truncated_irfftn_local(fhat * greens, (nz, ny, nx))
         doubled = jnp.pad(rhs_field, ((0, nz), (0, ny), (0, nx)))
         fhat = distributed_rfftn(doubled, self.mesh)
         fhat = fhat * greens
@@ -160,7 +194,60 @@ class UnboundedPoissonSolver3D:
 
     def vector_field_solve(self, rhs_vector_field, greens=None):
         """Component-wise solve for a (3, nz, ny, nx) vector field
-        (UnboundedPoissonSolverMPI3D.py:169-187)."""
+        (UnboundedPoissonSolverMPI3D.py:169-187); batched over components
+        on a single device so XLA pipelines the axis passes."""
+        if self.mesh is None or self.mesh.size == 1:
+            return jax.vmap(lambda f: self.solve(f, greens))(rhs_vector_field)
         return jnp.stack(
             [self.solve(rhs_vector_field[c], greens) for c in range(3)]
         )
+
+    def _fd_curl_symbols(self, dtype):
+        """Spectral symbols of the width-2 central difference on the
+        doubled periodic grid: ``i sin(2 pi k / M) / dx`` per axis."""
+        nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
+        mk = lambda freqs: (
+            1j * np.sin(2.0 * np.pi * freqs) / self.dx
+        ).astype(np.complex64 if dtype == np.float32 else np.complex128)
+        dz = mk(np.fft.fftfreq(2 * nz))[:, None, None]
+        dy = mk(np.fft.fftfreq(2 * ny))[None, :, None]
+        dxs = mk(np.fft.rfftfreq(2 * nx))[None, None, :]
+        return jnp.asarray(dz), jnp.asarray(dy), jnp.asarray(dxs)
+
+    def velocity_from_vorticity_spectral(self, vorticity, greens=None):
+        """Fused Biot-Savart velocity recovery (single-device fast path):
+        ``u = FD-curl( G * omega )`` evaluated entirely in the doubled
+        Fourier domain, so the streamfunction never materializes and the
+        separate curl stencil pass disappears.
+
+        Numerically identical to ``curl_3d(vector_field_solve(omega),
+        0.5/dx)``: in the doubled periodic domain the central difference is
+        the diagonal operator ``i sin(2 pi k/M)/dx``, and the only cells
+        where the circular difference wraps (the width-1 wall band) are
+        zeroed by both paths (curl_mpi_3d.py boundary zeroing semantics).
+        """
+        assert self.mesh is None or self.mesh.size == 1
+        if greens is None:
+            greens = self.fourier_greens_times_dx_pow_dim
+        nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
+        doubled = (2 * nz, 2 * ny, 2 * nx)
+        psi_hat = (
+            jax.vmap(lambda f: _padded_rfftn_local(f, doubled))(vorticity)
+            * greens
+        )
+        dz, dy, dxs = self._fd_curl_symbols(np.dtype(self.real_t))
+        # component order (x, y, z) over array axes (z, y, x)
+        u_hat = jnp.stack(
+            [
+                dy * psi_hat[2] - dz * psi_hat[1],
+                dz * psi_hat[0] - dxs * psi_hat[2],
+                dxs * psi_hat[1] - dy * psi_hat[0],
+            ]
+        )
+        u = jax.vmap(
+            lambda f: _truncated_irfftn_local(f, (nz, ny, nx))
+        )(u_hat)
+        # zero the width-1 wall band (parity with curl_3d)
+        mask = jnp.zeros((nz, ny, nx), dtype=u.dtype)
+        mask = mask.at[1:-1, 1:-1, 1:-1].set(1.0)
+        return u * mask
