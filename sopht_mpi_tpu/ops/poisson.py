@@ -42,19 +42,24 @@ from sopht_mpi_tpu.parallel.fft import (
 
 
 def _padded_rfftn_local(field, doubled: tuple[int, ...]):
+    from sopht_mpi_tpu.parallel.mxu_fft import fft_padded
+
     nd = field.ndim
     out = jnp.fft.rfft(field, n=doubled[-1], axis=nd - 1)
     for ax in range(nd - 2, -1, -1):
-        out = jnp.fft.fft(out, n=doubled[ax], axis=ax)
+        # four-step MXU DFT exploiting the zero-padded upper half
+        out = fft_padded(out, ax, doubled[ax])
     return out
 
 
 def _truncated_irfftn_local(fourier, out_shape: tuple[int, ...]):
+    from sopht_mpi_tpu.parallel.mxu_fft import ifft_truncated
+
     nd = fourier.ndim
     out = fourier
     for ax in range(nd - 1):
-        out = jnp.fft.ifft(out, axis=ax)
-        out = jax.lax.slice_in_dim(out, 0, out_shape[ax], axis=ax)
+        # four-step MXU inverse DFT computing only the kept half
+        out = ifft_truncated(out, ax, out_shape[ax])
     out = jnp.fft.irfft(out, n=2 * out_shape[-1], axis=nd - 1)
     return jax.lax.slice_in_dim(out, 0, out_shape[-1], axis=nd - 1)
 
