@@ -192,6 +192,9 @@ class UnboundedFlowSimulator3D:
             ),
             filter_type=self.filter_setting_dict["type"],
             poisson_solver=getattr(self, "unbounded_poisson_solver", None),
+            # Pallas plane-streaming kernels for the hot NS stencils: only
+            # on real TPU with unsharded fields (the jnp ops handle SPMD)
+            use_pallas=(jax.default_backend() == "tpu" and self.mesh is None),
         )
 
         def step(
@@ -262,6 +265,7 @@ def compute_flow_velocity_3d(
     vorticity, free_stream_velocity, *,
     dx, penalty_zone_width, poisson_solver, with_free_stream,
     poisson_greens=None,
+    use_pallas=False,
 ):
     """Wall-penalise vorticity -> vector Poisson -> curl -> free stream
     (reference :382-393). Returns (vorticity, velocity).
@@ -273,7 +277,14 @@ def compute_flow_velocity_3d(
     ones.)"""
     vorticity = penalise_field_boundary_vector_3d(vorticity, penalty_zone_width)
     stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
-    velocity = curl_3d(stream_func, jnp.asarray(0.5 / dx, vorticity.dtype))
+    if use_pallas:
+        from sopht_mpi_tpu.ops.pallas_stencils_3d import curl_3d_pallas
+
+        velocity = curl_3d_pallas(
+            stream_func, jnp.asarray(0.5 / dx, vorticity.dtype)
+        )
+    else:
+        velocity = curl_3d(stream_func, jnp.asarray(0.5 / dx, vorticity.dtype))
     if with_free_stream:
         velocity = add_fixed_val(velocity, free_stream_velocity)
     return vorticity, velocity
@@ -293,6 +304,7 @@ def flow_step_3d(
     filter_type,
     poisson_solver,
     poisson_greens=None,
+    use_pallas=False,
 ) -> FlowState3D:
     """One full 3D flow timestep (pure; jit/scan-safe). Ordering matches
     the reference dispatch (:327-413)."""
@@ -315,11 +327,21 @@ def flow_step_3d(
                 field, forcing, jnp.asarray(dt / (2.0 * dx), real_t)
             )
         # rotational form transport (reference :395-413)
-        velocity_cross_vorticity = cross_product_3d(velocity, field)
-        field = update_vorticity_from_velocity_forcing_3d(
-            field, velocity_cross_vorticity, jnp.asarray(dt / (2.0 * dx), real_t)
-        )
-        field = diffusion_timestep_vector_3d(field, nu_dt_by_dx2)
+        pref = jnp.asarray(dt / (2.0 * dx), real_t)
+        if use_pallas:
+            from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+                diffusion_timestep_vector_3d_pallas,
+                rotational_curl_add_3d_pallas,
+            )
+
+            field = rotational_curl_add_3d_pallas(field, velocity, pref)
+            field = diffusion_timestep_vector_3d_pallas(field, nu_dt_by_dx2)
+        else:
+            velocity_cross_vorticity = cross_product_3d(velocity, field)
+            field = update_vorticity_from_velocity_forcing_3d(
+                field, velocity_cross_vorticity, pref
+            )
+            field = diffusion_timestep_vector_3d(field, nu_dt_by_dx2)
         if filter_order > 0:
             field = laplacian_filter_vector_3d(field, filter_order, filter_type)
         field, velocity = compute_flow_velocity_3d(
@@ -330,6 +352,7 @@ def flow_step_3d(
             poisson_solver=poisson_solver,
             with_free_stream=with_free_stream,
             poisson_greens=poisson_greens,
+            use_pallas=use_pallas,
         )
         if flow_type == "navier_stokes_with_forcing":
             forcing = jnp.zeros_like(forcing)

@@ -1,0 +1,232 @@
+"""Pallas TPU kernels for the hot 3D Navier-Stokes stencils.
+
+The jnp shifted-slice stencils (stencils_3d.py) are correct and fuse well
+under XLA, but at 256^3 each pass still runs at ~85-100 GB/s because XLA
+materializes shifted copies. These Pallas kernels stream the fields one
+z-plane per grid step with the z-neighbors mapped as overlapping block
+views, computing each output plane from VMEM-resident planes:
+
+- ``diffusion_timestep_vector_3d_pallas``  (= stencils_3d.diffusion_timestep_vector_3d)
+- ``curl_3d_pallas``                        (= stencils_3d.curl_3d)
+- ``rotational_curl_add_3d_pallas``         (= vorticity + prefac*curl(u x w),
+  fusing the cross product into the curl pass - the rotational-form
+  transport of flow_simulators_mpi_3d.py:395-413)
+
+Exact-parity contracts with the jnp ops (same wall-ring semantics):
+diffusion leaves the width-1 ring unchanged; curl zeroes the ring; the
+rotational update leaves the vorticity ring unchanged.
+
+All kernels fall back to the jnp ops when the per-plane working set would
+not fit VMEM or when not running on TPU (``interpret=True`` used in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sopht_mpi_tpu.ops import stencils_3d as _jnp_ops
+
+# per-plane VMEM working set cap: inputs (<=7 vector planes) + output
+_VMEM_BYTES_CAP = 10 * 1024 * 1024
+
+
+def _plane_fits(shape, n_vector_planes: int) -> bool:
+    ny, nx = shape[-2], shape[-1]
+    return 3 * ny * nx * 4 * (n_vector_planes + 1) <= _VMEM_BYTES_CAP
+
+
+def _ring_mask(ny, nx, dtype):
+    """(ny, nx) mask: 1 in the in-plane interior, 0 on the edge ring."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    interior = (
+        (row > 0) & (row < ny - 1) & (col > 0) & (col < nx - 1)
+    )
+    return interior.astype(dtype)
+
+
+def _inplane_dy(p):
+    """Centered difference along y (axis -2) of a (3, ny, nx) plane,
+    zero on the y edges."""
+    ny = p.shape[-2]
+    interior = p[:, 2:, :] - p[:, :-2, :]
+    return jnp.pad(interior, ((0, 0), (1, 1), (0, 0)))
+
+
+def _inplane_dx(p):
+    nx = p.shape[-1]
+    interior = p[:, :, 2:] - p[:, :, :-2]
+    return jnp.pad(interior, ((0, 0), (0, 0), (1, 1)))
+
+
+# ---------------------------------------------------------------------------
+# diffusion
+# ---------------------------------------------------------------------------
+
+
+def _diffusion_kernel(prefac_ref, f_zm, f_c, f_zp, out_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    c = f_c[:, 0]  # (3, ny, nx)
+    ny, nx = c.shape[-2], c.shape[-1]
+    p = prefac_ref[0, 0]
+
+    lap = (
+        f_zm[:, 0]
+        + f_zp[:, 0]
+        - 6.0 * c
+        + jnp.pad(c[:, 2:, :] + c[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
+        + jnp.pad(c[:, :, 2:] + c[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    )
+    # re-add the y/x neighbor terms lost to the zero-ring padding is not
+    # needed: the ring is masked out below (flux = 0 on the wall ring)
+    mask = _ring_mask(ny, nx, c.dtype)
+    on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
+    flux = jnp.where(on_z_wall, 0.0, 1.0) * p * mask * lap
+    out_ref[:, 0] = c + flux
+
+
+def diffusion_timestep_vector_3d_pallas(vector_field, nu_dt_by_dx2, *, interpret=False):
+    """Pallas version of ``diffusion_timestep_vector_3d`` (exact parity)."""
+    _, nz, ny, nx = vector_field.shape
+    if not _plane_fits(vector_field.shape, 3):
+        return _jnp_ops.diffusion_timestep_vector_3d(vector_field, nu_dt_by_dx2)
+    prefac = jnp.asarray(nu_dt_by_dx2, vector_field.dtype).reshape(1, 1)
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.ANY if False else pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _diffusion_kernel,
+        grid=(nz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            plane(-1),
+            plane(0),
+            plane(+1),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(vector_field.shape, vector_field.dtype),
+        interpret=interpret,
+    )(prefac, vector_field, vector_field, vector_field)
+
+
+# ---------------------------------------------------------------------------
+# curl (and fused rotational transport)
+# ---------------------------------------------------------------------------
+
+
+def _curl_planes(q_zm, q_c, q_zp, prefac):
+    """prefac * curl of a vector plane stack; zero on the in-plane ring.
+    Components (x, y, z) over in-plane axes (y = -2, x = -1)."""
+    dq_dy = _inplane_dy(q_c)
+    dq_dx = _inplane_dx(q_c)
+    dq_dz = q_zp - q_zm
+    curl_x = dq_dy[2] - dq_dz[1]
+    curl_y = dq_dz[0] - dq_dx[2]
+    curl_z = dq_dx[1] - dq_dy[0]
+    ny, nx = q_c.shape[-2], q_c.shape[-1]
+    mask = _ring_mask(ny, nx, q_c.dtype)
+    return prefac * mask * jnp.stack([curl_x, curl_y, curl_z])
+
+
+def _curl_kernel(prefac_ref, f_zm, f_c, f_zp, out_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    p = prefac_ref[0, 0]
+    curl = _curl_planes(f_zm[:, 0], f_c[:, 0], f_zp[:, 0], p)
+    on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
+    out_ref[:, 0] = jnp.where(on_z_wall, 0.0, 1.0) * curl
+
+
+def curl_3d_pallas(field, prefactor, *, interpret=False):
+    """Pallas version of ``curl_3d`` (exact parity incl. zeroed ring)."""
+    _, nz, ny, nx = field.shape
+    if not _plane_fits(field.shape, 3):
+        return _jnp_ops.curl_3d(field, prefactor)
+    prefac = jnp.asarray(prefactor, field.dtype).reshape(1, 1)
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _curl_kernel,
+        grid=(nz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            plane(-1),
+            plane(0),
+            plane(+1),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(field.shape, field.dtype),
+        interpret=interpret,
+    )(prefac, field, field, field)
+
+
+def _rotational_kernel(prefac_ref, w_zm, w_c, w_zp, u_zm, u_c, u_zp, out_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    p = prefac_ref[0, 0]
+
+    def cross(u, w):
+        return jnp.stack(
+            [
+                u[1] * w[2] - u[2] * w[1],
+                u[2] * w[0] - u[0] * w[2],
+                u[0] * w[1] - u[1] * w[0],
+            ]
+        )
+
+    q_zm = cross(u_zm[:, 0], w_zm[:, 0])
+    q_c = cross(u_c[:, 0], w_c[:, 0])
+    q_zp = cross(u_zp[:, 0], w_zp[:, 0])
+    curl = _curl_planes(q_zm, q_c, q_zp, p)
+    on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
+    out_ref[:, 0] = w_c[:, 0] + jnp.where(on_z_wall, 0.0, 1.0) * curl
+
+
+def rotational_curl_add_3d_pallas(
+    vorticity, velocity, prefactor, *, interpret=False
+):
+    """Fused rotational-form transport: ``w + prefac * curl(u x w)``
+    (= ``update_vorticity_from_velocity_forcing_3d(w, cross_product_3d(u, w),
+    prefac)``) in one streaming pass."""
+    _, nz, ny, nx = vorticity.shape
+    if not _plane_fits(vorticity.shape, 6):
+        from sopht_mpi_tpu.ops.elementwise import cross_product_3d
+
+        q = cross_product_3d(velocity, vorticity)
+        return _jnp_ops.update_vorticity_from_velocity_forcing_3d(
+            vorticity, q, prefactor
+        )
+    prefac = jnp.asarray(prefactor, vorticity.dtype).reshape(1, 1)
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _rotational_kernel,
+        grid=(nz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        ]
+        + [plane(o) for o in (-1, 0, 1)] * 2,
+        out_specs=pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(vorticity.shape, vorticity.dtype),
+        interpret=interpret,
+    )(prefac, vorticity, vorticity, vorticity, velocity, velocity, velocity)
