@@ -14,3 +14,4 @@ from sopht_mpi_tpu.utils.io import (
     load_rod_state,
     save_rod_state,
 )
+from sopht_mpi_tpu.utils.native_io import AsyncFieldDumper
