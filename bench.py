@@ -3,10 +3,12 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mcells/s", "vs_baseline": N}
 
-Metric: million Eulerian cell-updates per second for the full coupled FSI
-timestep (penalty IBM interaction + rotational-form Navier-Stokes step with
-unbounded Poisson velocity recovery) - the north-star configuration of
-BASELINE.json ("3D 256^3 FSI Mcell-updates/sec/chip").
+Metric: million Eulerian cell-updates per second for the full fused
+coupled FSI timestep (CFL dt control + penalty IBM interaction +
+rotational-form Navier-Stokes step with unbounded Poisson velocity
+recovery), rolled out with a single on-device ``lax.scan`` - the
+north-star configuration of BASELINE.json ("3D 256^3 FSI
+Mcell-updates/sec/chip").
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against an estimated 64-rank CPU MPI wall-time/step for the same config of
@@ -33,23 +35,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from __graft_entry__ import _build_fsi_case
+    from sopht_mpi_tpu.models import scan_steps
 
-    fsi_step, args = _build_fsi_case(grid_size=(GRID, GRID, GRID))
-    step = jax.jit(fsi_step, donate_argnums=(0, 1))
+    fsi_step, (carry,) = _build_fsi_case(grid_size=(GRID, GRID, GRID))
 
-    flow_state, vb_state, lag_pos, lag_vel, dt, fsv, greens = args
     # warmup / compile
-    flow_state, vb_state = step(
-        flow_state, vb_state, lag_pos, lag_vel, dt, fsv, greens
-    )
-    jax.block_until_ready((flow_state, vb_state))
+    carry, _ = scan_steps(fsi_step, carry, STEPS)
+    jax.block_until_ready(carry)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        flow_state, vb_state = step(
-            flow_state, vb_state, lag_pos, lag_vel, dt, fsv, greens
-        )
-    jax.block_until_ready((flow_state, vb_state))
+    carry, lag_forces = scan_steps(fsi_step, carry, STEPS)
+    jax.block_until_ready(carry)
     t1 = time.perf_counter()
 
     sec_per_step = (t1 - t0) / STEPS

@@ -20,6 +20,15 @@ from sopht_mpi_tpu.models.immersed_body import (
     SphereForcingGrid,
 )
 from sopht_mpi_tpu.models import elastica
+from sopht_mpi_tpu.models.fsi import (
+    RigidFSICarry,
+    RodFSICarry,
+    build_rigid_fsi_step,
+    build_rod_fsi_step,
+    init_rigid_fsi_carry,
+    init_rod_fsi_carry,
+    scan_steps,
+)
 from sopht_mpi_tpu.models.elastica import (
     AnalyticalLinearDamper,
     BaseSystemCollection,

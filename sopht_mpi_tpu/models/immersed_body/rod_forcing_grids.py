@@ -41,16 +41,19 @@ class CosseratRodElementCentricForcingGrid(ImmersedBodyForcingGrid):
     def position_field(self):
         return self.compute_lag_grid_position_field()
 
-    def compute_lag_grid_position_field(self):
-        pos = self.rod.state.position
+    # pure state-based kernels (jit/scan-safe; used by the fused on-device
+    # FSI loop, models/fsi.py)
+
+    def lag_positions(self, rod_state):
+        pos = rod_state.position
         return 0.5 * (pos[:2, 1:] + pos[:2, :-1])
 
-    def compute_lag_grid_velocity_field(self):
-        vel = self.rod.state.velocity
+    def lag_velocities(self, rod_state):
+        vel = rod_state.velocity
         return 0.5 * (vel[:2, 1:] + vel[:2, :-1])
 
-    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
-        n = self.rod.n_elems
+    def body_loads(self, rod_state, lag_grid_forcing_field):
+        n = lag_grid_forcing_field.shape[1]
         dtype = lag_grid_forcing_field.dtype
         forces = jnp.zeros((3, n + 1), dtype)
         half = -0.5 * lag_grid_forcing_field  # force ON body = -lag forcing
@@ -58,6 +61,17 @@ class CosseratRodElementCentricForcingGrid(ImmersedBodyForcingGrid):
         forces = forces.at[:2, 1:].add(half)
         torques = jnp.zeros((3, n), dtype)
         return forces, torques
+
+    # stateful wrappers (reference API surface)
+
+    def compute_lag_grid_position_field(self):
+        return self.lag_positions(self.rod.state)
+
+    def compute_lag_grid_velocity_field(self):
+        return self.lag_velocities(self.rod.state)
+
+    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
+        return self.body_loads(self.rod.state, lag_grid_forcing_field)
 
     def get_maximum_lagrangian_grid_spacing(self):
         return float(jnp.max(self.rod.lengths))
@@ -118,9 +132,10 @@ class CosseratRodSurfaceForcingGrid(ImmersedBodyForcingGrid):
 
     # -- marker kinematics ----------------------------------------------------
 
-    def _element_frames(self):
+    def _element_frames(self, state=None):
         """(centers, velocities, omega_lab, d1, d2) gathered per marker."""
-        state = self.rod.state
+        if state is None:
+            state = self.rod.state
         idx = self._elem_idx
         centers = 0.5 * (state.position[:, 1:] + state.position[:, :-1])
         vels = 0.5 * (state.velocity[:, 1:] + state.velocity[:, :-1])
@@ -136,26 +151,29 @@ class CosseratRodSurfaceForcingGrid(ImmersedBodyForcingGrid):
             d2[:, idx],
         )
 
-    def _moment_arms(self):
-        _, _, _, d1, d2 = self._element_frames()
+    def _moment_arms(self, state=None):
+        _, _, _, d1, d2 = self._element_frames(state)
         return self._radius * (self._cos_t * d1 + self._sin_t * d2)
 
     @property
     def position_field(self):
         return self.compute_lag_grid_position_field()
 
-    def compute_lag_grid_position_field(self):
-        centers, _, _, d1, d2 = self._element_frames()
+    # pure state-based kernels (jit/scan-safe; used by the fused on-device
+    # FSI loop, models/fsi.py)
+
+    def lag_positions(self, rod_state):
+        centers, _, _, d1, d2 = self._element_frames(rod_state)
         arm = self._radius * (self._cos_t * d1 + self._sin_t * d2)
         return centers + arm
 
-    def compute_lag_grid_velocity_field(self):
-        centers, vels, omega_lab, d1, d2 = self._element_frames()
+    def lag_velocities(self, rod_state):
+        centers, vels, omega_lab, d1, d2 = self._element_frames(rod_state)
         arm = self._radius * (self._cos_t * d1 + self._sin_t * d2)
         return vels + jnp.cross(omega_lab, arm, axis=0)
 
-    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
-        n = self.rod.n_elems
+    def body_loads(self, rod_state, lag_grid_forcing_field):
+        n = rod_state.omega.shape[1]
         dtype = lag_grid_forcing_field.dtype
         body_force = -lag_grid_forcing_field  # Newton's third law
         # accumulate per-element force, split half-half to adjacent nodes
@@ -166,15 +184,26 @@ class CosseratRodSurfaceForcingGrid(ImmersedBodyForcingGrid):
         forces = forces.at[:, :-1].add(0.5 * elem_force)
         forces = forces.at[:, 1:].add(0.5 * elem_force)
         # material-frame torque about element centers
-        arm = self._moment_arms()
+        arm = self._moment_arms(rod_state)
         torque_lab = jnp.cross(arm, body_force, axis=0)
         elem_torque_lab = (
             jnp.zeros((3, n), dtype).at[:, self._elem_idx].add(torque_lab)
         )
         torques = jnp.einsum(
-            "ijn,jn->in", self.rod.state.director, elem_torque_lab
+            "ijn,jn->in", rod_state.director, elem_torque_lab
         )
         return forces, torques
+
+    # stateful wrappers (reference API surface)
+
+    def compute_lag_grid_position_field(self):
+        return self.lag_positions(self.rod.state)
+
+    def compute_lag_grid_velocity_field(self):
+        return self.lag_velocities(self.rod.state)
+
+    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
+        return self.body_loads(self.rod.state, lag_grid_forcing_field)
 
     def get_maximum_lagrangian_grid_spacing(self):
         return self._max_spacing
