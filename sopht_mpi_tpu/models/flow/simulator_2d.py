@@ -240,6 +240,19 @@ class UnboundedFlowSimulator2D:
         """Global maximum vorticity (reference :323-328)."""
         return float(jnp.max(self.vorticity_field))
 
+    def compute_velocity_from_vorticity(self):
+        """Recompute the velocity from the current vorticity (public
+        method the reference exposes for final diagnostics,
+        flow_simulators_mpi_2d.py:273-282 via lamb_oseen_vortex.py:157)."""
+        vorticity, velocity, _ = compute_velocity_from_vorticity_2d(
+            self.vorticity_field,
+            dx=self.dx,
+            penalty_zone_width=self.penalty_zone_width,
+            poisson_solver=self.unbounded_poisson_solver,
+        )
+        self.vorticity_field = vorticity
+        self.velocity_field = velocity
+
 
 # ---------------------------------------------------------------------------
 # Functional core

@@ -250,6 +250,20 @@ class UnboundedFlowSimulator3D:
     def get_max_vorticity(self) -> float:
         return float(jnp.max(self.vorticity_field))
 
+    def compute_flow_velocity(self):
+        """Recompute the velocity from the current vorticity (reference
+        flow_simulators_mpi_3d.py:382-393 public path)."""
+        field, velocity = compute_flow_velocity_3d(
+            self.vorticity_field,
+            jnp.zeros(3, self.real_t),
+            dx=self.dx,
+            penalty_zone_width=self.penalty_zone_width,
+            poisson_solver=self.unbounded_poisson_solver,
+            with_free_stream=False,
+        )
+        self.vorticity_field = field
+        self.velocity_field = velocity
+
     def get_vorticity_divergence_l2_norm(self) -> float:
         """L2 norm of div(omega) (reference :451-469)."""
         div = divergence_3d(self.vorticity_field, 1.0 / self.dx)
