@@ -88,6 +88,99 @@ def test_rigid_fsi_scan_matches_host_loop():
     assert np.abs(np.asarray(lag_forces)).max() > 0
 
 
+def _rod_case(real_t=jnp.float64):
+    from sopht_mpi_tpu.models import FlowForces
+
+    flow_sim = UnboundedFlowSimulator2D(
+        grid_size=(32, 32),
+        x_range=1.0,
+        kinematic_viscosity=1e-3,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+        real_t=real_t,
+    )
+    flow_sim.velocity_field = jnp.ones_like(flow_sim.velocity_field)
+    rod = CosseratRod.straight_rod(
+        8,
+        np.array([0.5, 0.3, 0.0]),
+        np.array([0.0, 1.0, 0.0]),
+        np.array([0.0, 0.0, 1.0]),
+        base_length=0.4,
+        base_radius=0.02,
+        density=1e3,
+        youngs_modulus=1e5,
+        shear_modulus=1e5 / 1.5,
+    )
+    collection = BaseSystemCollection()
+    collection.append(rod)
+    collection.constrain(rod).using(
+        OneEndFixedBC,
+        constrained_position_idx=(0,),
+        constrained_director_idx=(0,),
+    )
+    interactor = CosseratRodFlowInteraction(
+        flow_sim=flow_sim,
+        cosserat_rod=rod,
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+        forcing_grid_cls=CosseratRodElementCentricForcingGrid,
+    )
+    return flow_sim, rod, collection, interactor
+
+
+def test_rod_fsi_scan_matches_host_loop():
+    """With one rod substep per flow step, the fused scanned rod-FSI step
+    reproduces the host-driven loop (do_step -> interactor.time_step ->
+    interactor() -> flow step) bit-for-bit in float64."""
+    from sopht_mpi_tpu.models import FlowForces
+
+    n_steps = 3
+    fsv = (1.0, 0.0)
+
+    # host loop (reference flow_past_rod.py:276-300 structure, nsub = 1)
+    flow_sim, rod, collection, interactor = _rod_case()
+    collection.add_forcing_to(rod).using(FlowForces, interactor)
+    collection.finalize()
+    ts = PositionVerlet()
+    do_step, stages = extend_stepper_interface(ts, collection)
+    rod_time = 0.0
+    for _ in range(n_steps):
+        flow_dt = flow_sim.compute_stable_timestep(dt_prefac=0.5)
+        rod_time = do_step(ts, stages, collection, rod_time, flow_dt)
+        interactor.time_step(dt=flow_dt)
+        interactor()
+        flow_sim.time_step(flow_dt, free_stream_velocity=fsv)
+    host_vort = np.asarray(flow_sim.vorticity_field)
+    host_tip = np.asarray(rod.position_collection[:, -1])
+    host_mismatch = np.asarray(interactor.state.position_mismatch)
+
+    # fused scan (FlowForces NOT registered; computed in-trace)
+    flow_sim2, rod2, collection2, interactor2 = _rod_case()
+    collection2.finalize()
+    step = build_rod_fsi_step(
+        flow_sim2,
+        interactor2,
+        collection2,
+        rod_substeps=1,
+        dt_prefac=0.5,
+        free_stream_fn=lambda t: jnp.asarray(fsv, jnp.float64),
+    )
+    carry, _ = scan_steps(
+        step, init_rod_fsi_carry(flow_sim2, interactor2, rod2), n_steps
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.flow_state.primary_scalar_field), host_vort,
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.rod_state.position[:, -1]), host_tip, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.vb_state.position_mismatch), host_mismatch,
+        atol=1e-13,
+    )
+
+
 def test_rod_fsi_scan_runs_and_is_finite():
     """Fused rod FSI (flow + IBM + position-Verlet substeps in one scan)
     stays finite and deflects the rod."""
