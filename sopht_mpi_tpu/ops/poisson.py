@@ -41,6 +41,77 @@ from sopht_mpi_tpu.parallel.fft import (
 # monolithically padded cube, which is the entire cost of the solve on TPU.
 
 
+def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
+    """Fast fused Pallas path: TPU backend, float32, supported axis sizes."""
+    from sopht_mpi_tpu.parallel.pallas_fft import pallas_fft_supported
+
+    return (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and all(pallas_fft_supported(m) for m in doubled[:-1])
+    )
+
+
+def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
+    """Free-space convolution with fused Pallas FFT passes: the spectrum
+    lives in split real/imag float32 pairs, each y/z pass is one kernel
+    (one HBM read + write), and the Green's multiply is folded into the
+    first inverse pass. ``rhs`` may carry a leading component axis (it is
+    folded into the kernels' batch dimension).
+    """
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        fft_pass_padded,
+        ifft_pass_truncated,
+        irfft_pass_truncated,
+        rfft_pass_padded,
+    )
+
+    batched = rhs.ndim == len(doubled) + 1
+    if not batched:
+        rhs = rhs[None]
+    c = rhs.shape[0]
+    nd = len(doubled)
+    mx = doubled[-1]
+    fx = mx // 2 + 1
+
+    if nd == 2:
+        ny, nx = rhs.shape[1], rhs.shape[2]
+        my = doubled[0]
+        # x pass (minor axis, lane-contraction r2c matmul kernel)
+        fr, fi = rfft_pass_padded(rhs.reshape(c * ny, nx), mx)
+        fr = fr.reshape(c, ny, fx)
+        fi = fi.reshape(c, ny, fx)
+        # y pass: (c, ny, fx) -> (c, my, fx)
+        fr, fi = fft_pass_padded(fr, fi, my)
+        g = jnp.broadcast_to(greens[None], (c, my, fx))
+        fr, fi = ifft_pass_truncated(fr, fi, g)
+        sol = irfft_pass_truncated(
+            fr.reshape(c * ny, fx), fi.reshape(c * ny, fx), mx, nx
+        ).reshape(c, ny, nx)
+    else:
+        nz, ny, nx = rhs.shape[1], rhs.shape[2], rhs.shape[3]
+        mz, my = doubled[0], doubled[1]
+        # x pass (minor axis, lane-contraction r2c matmul kernel)
+        fr, fi = rfft_pass_padded(rhs.reshape(c * nz * ny, nx), mx)
+        # y pass: fold (c, nz) into the kernel batch dim
+        fr = fr.reshape(c * nz, ny, fx)
+        fi = fi.reshape(c * nz, ny, fx)
+        fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, fx)
+        # z pass: view (c, nz, my*fx)
+        fr = fr.reshape(c, nz, my * fx)
+        fi = fi.reshape(c, nz, my * fx)
+        fr, fi = fft_pass_padded(fr, fi, mz)  # (c, mz, my*fx)
+        g = jnp.broadcast_to(greens.reshape(1, mz, my * fx), (c, mz, my * fx))
+        fr, fi = ifft_pass_truncated(fr, fi, g)  # (c, nz, my*fx)
+        fr = fr.reshape(c * nz, my, fx)
+        fi = fi.reshape(c * nz, my, fx)
+        fr, fi = ifft_pass_truncated(fr, fi)  # (c*nz, ny, fx)
+        sol = irfft_pass_truncated(
+            fr.reshape(c * nz * ny, fx), fi.reshape(c * nz * ny, fx), mx, nx
+        ).reshape(c, nz, ny, nx)
+    return sol if batched else sol[0]
+
+
 def _padded_rfftn_local(field, doubled: tuple[int, ...]):
     from sopht_mpi_tpu.parallel.mxu_fft import fft_padded
 
@@ -129,7 +200,10 @@ class UnboundedPoissonSolver2D:
             greens = self.fourier_greens_times_dx_pow_dim
         ny, nx = self.grid_size_y, self.grid_size_x
         if self.mesh is None or self.mesh.size == 1:
-            fhat = _padded_rfftn_local(rhs_field, (2 * ny, 2 * nx))
+            doubled = (2 * ny, 2 * nx)
+            if _pallas_convolve_supported(doubled, rhs_field.dtype):
+                return _pallas_convolve_local(rhs_field, greens, doubled)
+            fhat = _padded_rfftn_local(rhs_field, doubled)
             return _truncated_irfftn_local(fhat * greens, (ny, nx))
         doubled = jnp.pad(rhs_field, ((0, ny), (0, nx)))
         fhat = distributed_rfftn(doubled, self.mesh)
@@ -189,7 +263,10 @@ class UnboundedPoissonSolver3D:
             greens = self.fourier_greens_times_dx_pow_dim
         nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
         if self.mesh is None or self.mesh.size == 1:
-            fhat = _padded_rfftn_local(rhs_field, (2 * nz, 2 * ny, 2 * nx))
+            doubled = (2 * nz, 2 * ny, 2 * nx)
+            if _pallas_convolve_supported(doubled, rhs_field.dtype):
+                return _pallas_convolve_local(rhs_field, greens, doubled)
+            fhat = _padded_rfftn_local(rhs_field, doubled)
             return _truncated_irfftn_local(fhat * greens, (nz, ny, nx))
         doubled = jnp.pad(rhs_field, ((0, nz), (0, ny), (0, nx)))
         fhat = distributed_rfftn(doubled, self.mesh)
@@ -201,7 +278,14 @@ class UnboundedPoissonSolver3D:
         """Component-wise solve for a (3, nz, ny, nx) vector field
         (UnboundedPoissonSolverMPI3D.py:169-187); batched over components
         on a single device so XLA pipelines the axis passes."""
+        if greens is None:
+            greens = self.fourier_greens_times_dx_pow_dim
+        nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
         if self.mesh is None or self.mesh.size == 1:
+            doubled = (2 * nz, 2 * ny, 2 * nx)
+            if _pallas_convolve_supported(doubled, rhs_vector_field.dtype):
+                # components fold into the Pallas kernels' batch dimension
+                return _pallas_convolve_local(rhs_vector_field, greens, doubled)
             return jax.vmap(lambda f: self.solve(f, greens))(rhs_vector_field)
         return jnp.stack(
             [self.solve(rhs_vector_field[c], greens) for c in range(3)]

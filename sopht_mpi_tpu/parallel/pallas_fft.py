@@ -1,0 +1,349 @@
+"""Pallas TPU kernels for the doubled-domain FFT passes.
+
+The four-step MXU FFT (mxu_fft.py) is already ~2x XLA's FFT, but each pass
+still materializes real/imag intermediates in HBM between its einsum
+stages (~200 GB/s effective). These kernels fuse a whole axis pass -
+reshape -> DFT matmul -> twiddle-folded DFT matmul -> reshape - inside
+VMEM, so every element is read from and written to HBM exactly once per
+pass. The spectrum lives in SPLIT real/imag float32 pairs end to end
+(complex arrays are only touched at the tiny pre-padding stage), and the
+free-space Green's multiply is folded into the inverse pass's load.
+
+Math (same decomposition as mxu_fft.py): m = m1*m2,
+    n = n1 + m1*n2,  k = k2 + m2*k1
+forward (zero-padded input, n < m/2 <=> n2 < m2/2):
+    step 1: contract n2 with W2[k2, n2], n2 < m2/2
+    step 2: contract n1 with A_f[k2, k1, n1] = W1[k1, n1] T[n1, k2]
+inverse (truncated output, n < m/2):
+    step 1: contract k1 with A_i[k2, n1, k1] = W1*[n1, k1] T*[n1, k2]
+    step 2: contract k2 with W2*[n2, k2] / m, n2 < m2/2
+
+Layout contract: arrays are (batch A, L, B) with the transform along the
+middle axis; the kernel grids over (A, B tiles). A z-axis pass uses the
+(1, Z, Y*X) view (free reshape); a y-axis pass uses (Z, Y, X) directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sopht_mpi_tpu.parallel.mxu_fft import _best_factors
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_mats(m: int):
+    """(W2r, W2i (m2, m2/2)), (Ar, Ai (m2, m1, m1)) as float32 numpy."""
+    m1, m2 = _best_factors(m)
+    k2 = np.arange(m2)[:, None]
+    n2 = np.arange(m2 // 2)[None, :]
+    w2 = np.exp(-2j * np.pi * k2 * n2 / m2)
+    k1 = np.arange(m1)[:, None]
+    n1 = np.arange(m1)[None, :]
+    w1 = np.exp(-2j * np.pi * k1 * n1 / m1)  # (k1, n1)
+    t = np.exp(-2j * np.pi * np.arange(m1)[:, None] * np.arange(m2)[None, :] / m)
+    a = w1[None, :, :] * np.transpose(t)[:, None, :]  # (k2, k1, n1)
+    f32 = lambda x: x.astype(np.float32)
+    return (f32(w2.real), f32(w2.imag)), (f32(a.real), f32(a.imag))
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_mats(m: int):
+    """(Ar, Ai (m2, m1, m1) [k2, n1, k1]), (W2r, W2i (m2/2, m2) with 1/m)."""
+    m1, m2 = _best_factors(m)
+    n1 = np.arange(m1)[:, None]
+    k1 = np.arange(m1)[None, :]
+    w1 = np.exp(+2j * np.pi * n1 * k1 / m1)  # (n1, k1)
+    t = np.exp(+2j * np.pi * np.arange(m1)[:, None] * np.arange(m2)[None, :] / m)
+    # A_i[k2, n1, k1] = W1[n1, k1] * T[n1, k2]: T broadcasts over k1 (last)
+    a = w1[None, :, :] * np.transpose(t)[:, :, None]  # (k2, n1, k1)
+    n2 = np.arange(m2 // 2)[:, None]
+    k2 = np.arange(m2)[None, :]
+    w2 = np.exp(+2j * np.pi * n2 * k2 / m2) / m
+    f32 = lambda x: x.astype(np.float32)
+    return (f32(a.real), f32(a.imag)), (f32(w2.real), f32(w2.imag))
+
+
+def _cdot(eq, mr, mi, xr, xi):
+    e = lambda a, b: jnp.einsum(
+        eq, a, b, preferred_element_type=jnp.float32, precision=_HIGHEST
+    )
+    return e(mr, xr) - e(mi, xi), e(mr, xi) + e(mi, xr)
+
+
+def _mm(a, x):
+    return jax.lax.dot(a, x, precision=_HIGHEST,
+                       preferred_element_type=jnp.float32)
+
+
+def _cmm(mr, mi, xr, xi):
+    """2D complex matmul (mr + i mi)(xr + i xi) on the MXU."""
+    return _mm(mr, xr) - _mm(mi, xi), _mm(mr, xi) + _mm(mi, xr)
+
+
+def _fwd_kernel(m, m1, m2, w2r_ref, w2i_ref, ar_ref, ai_ref,
+                xr_ref, xi_ref, or_ref, oi_ref):
+    """Input blocks are pre-split 4D (1, m2/2, m1, bt); contractions run as
+    per-slice 2D matmuls (Mosaic does not support sublane-splitting shape
+    casts inside kernels)."""
+    bt = xr_ref.shape[3]
+    w2r, w2i = w2r_ref[...], w2i_ref[...]
+    # step 1 (contract n2; one 2D matmul per n1 slice) -> y (n1, k2, bt)
+    yr = jnp.stack(
+        [_mm(w2r, xr_ref[0, :, j, :]) - _mm(w2i, xi_ref[0, :, j, :])
+         for j in range(m1)]
+    )
+    yi = jnp.stack(
+        [_mm(w2r, xi_ref[0, :, j, :]) + _mm(w2i, xr_ref[0, :, j, :])
+         for j in range(m1)]
+    )
+    # step 2 (contract n1; one 2D matmul per k2 slice) -> z (k1, k2, bt)
+    zr_sl, zi_sl = [], []
+    for c in range(m2):
+        r, i = _cmm(ar_ref[c], ai_ref[c], yr[:, c, :], yi[:, c, :])
+        zr_sl.append(r)
+        zi_sl.append(i)
+    # k = m2*k1 + k2: stack k2 inside k1 then merge (a no-op view)
+    or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m, bt)
+    oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m, bt)
+
+
+def _inv_kernel(m, m1, m2, with_greens, *refs):
+    """Input blocks pre-split 4D (1, m1=k1, m2=k2, bt); optional greens
+    block with the same view multiplies on load."""
+    if with_greens:
+        ar_ref, ai_ref, w2r_ref, w2i_ref, g_ref, xr_ref, xi_ref, \
+            or_ref, oi_ref = refs
+    else:
+        ar_ref, ai_ref, w2r_ref, w2i_ref, xr_ref, xi_ref, \
+            or_ref, oi_ref = refs
+    bt = xr_ref.shape[3]
+    w2r, w2i = w2r_ref[...], w2i_ref[...]
+    # step 1 (contract k1; one 2D matmul per k2 slice) -> y (n1, k2, bt)
+    yr_sl, yi_sl = [], []
+    for c in range(m2):
+        xr_c = xr_ref[0, :, c, :]  # (k1, bt)
+        xi_c = xi_ref[0, :, c, :]
+        if with_greens:
+            g_c = g_ref[0, :, c, :]
+            xr_c = xr_c * g_c
+            xi_c = xi_c * g_c
+        r, i = _cmm(ar_ref[c], ai_ref[c], xr_c, xi_c)  # (n1, bt)
+        yr_sl.append(r)
+        yi_sl.append(i)
+    yr = jnp.stack(yr_sl, axis=1)  # (n1, k2, bt)
+    yi = jnp.stack(yi_sl, axis=1)
+    # step 2 (contract k2; one 2D matmul per n1 slice) -> z (n2, n1, bt)
+    zr_sl, zi_sl = [], []
+    for j in range(m1):
+        r, i = _cmm(w2r, w2i, yr[j], yi[j])  # (n2, bt)
+        zr_sl.append(r)
+        zi_sl.append(i)
+    # n = n1 + m1*n2: stack n1 inside n2 then merge (a no-op view)
+    or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
+    oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
+
+
+def _pick_btile(b: int, budget_elems: int) -> int:
+    """Largest divisor of b that is <= budget_elems and (when possible) a
+    multiple of 128 lanes."""
+    best = None
+    for bt in range(min(b, budget_elems), 0, -1):
+        if b % bt == 0:
+            if bt % 128 == 0:
+                return bt
+            if best is None:
+                best = bt
+    return best or b
+
+
+def fft_pass_padded(xr, xi, axis_len_out: int):
+    """Forward padded FFT along the MIDDLE axis of (A, L, B) float32 pairs:
+    input L = m/2 (zero-padded semantics), output L = m = axis_len_out."""
+    m = axis_len_out
+    m1, m2 = _best_factors(m)
+    a_dim, l_in, b = xr.shape
+    assert 2 * l_in == m
+    bt = _pick_btile(b, max(128, (2 * 1024 * 1024) // (4 * m)))
+    kern = functools.partial(_fwd_kernel, m, m1, m2)
+    (w2r, w2i), (ar, ai) = _fwd_mats(m)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    # pre-split the transform axis outside the kernel (free view):
+    # n = n1 + m1*n2 -> (n2, n1)
+    xr4 = xr.reshape(a_dim, m2 // 2, m1, b)
+    xi4 = xi.reshape(a_dim, m2 // 2, m1, b)
+    in_spec = pl.BlockSpec(
+        (1, m2 // 2, m1, bt), lambda i, j: (i, 0, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, m, bt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(a_dim, b // bt),
+        in_specs=[mat_spec(w2r), mat_spec(w2i), mat_spec(ar), mat_spec(ai),
+                  in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((a_dim, m, b), jnp.float32)] * 2,
+        interpret=_use_interpret(),
+    )(jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(ar), jnp.asarray(ai),
+      xr4, xi4)
+
+
+def ifft_pass_truncated(xr, xi, greens=None):
+    """Inverse FFT along the MIDDLE axis of (A, m, B) float32 pairs,
+    keeping the first m/2 outputs. ``greens`` (same shape, float32) is an
+    optional real spectral multiplier folded into the load."""
+    a_dim, m, b = xr.shape
+    m1, m2 = _best_factors(m)
+    bt = _pick_btile(b, max(128, (2 * 1024 * 1024) // (4 * m)))
+    kern = functools.partial(_inv_kernel, m, m1, m2, greens is not None)
+    (ar, ai), (w2r, w2i) = _inv_mats(m)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    # pre-split k = m2*k1 + k2 -> (k1, k2) outside the kernel (free view)
+    split = lambda arr: arr.reshape(a_dim, m1, m2, b)
+    in_spec = pl.BlockSpec(
+        (1, m1, m2, bt), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, m // 2, bt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    mats = [jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(w2r),
+            jnp.asarray(w2i)]
+    data = (
+        [split(xr), split(xi)]
+        if greens is None
+        else [split(greens), split(xr), split(xi)]
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(a_dim, b // bt),
+        in_specs=[mat_spec(a) for a in mats] + [in_spec] * len(data),
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((a_dim, m // 2, b), jnp.float32)] * 2,
+        interpret=_use_interpret(),
+    )(*mats, *data)
+
+
+# ---------------------------------------------------------------------------
+# minor-axis r2c / c2r passes as lane-contraction matmuls
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _r2c_mats(n_in: int, m: int):
+    """x real (.., n_in) zero-padded to m: X[k] = sum_n x[n] W^{nk},
+    k <= m/2. Returns C (n_in, fx), S (n_in, fx) with X = xC + i xS."""
+    fx = m // 2 + 1
+    n = np.arange(n_in)[:, None]
+    k = np.arange(fx)[None, :]
+    ang = 2.0 * np.pi * n * k / m
+    return (
+        np.cos(ang).astype(np.float32),
+        (-np.sin(ang)).astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _c2r_mats(m: int, n_out: int):
+    """Hermitian inverse: y[n] = (1/m) sum'_k w_k (Xr cos - Xi sin),
+    w = 2 except for k = 0 and k = m/2. Returns Cw, Sw (fx, n_out) with
+    y = Xr Cw + Xi Sw."""
+    fx = m // 2 + 1
+    k = np.arange(fx)[:, None]
+    n = np.arange(n_out)[None, :]
+    ang = 2.0 * np.pi * k * n / m
+    w = np.full((fx, 1), 2.0)
+    w[0] = 1.0
+    w[-1] = 1.0
+    return (
+        (w * np.cos(ang) / m).astype(np.float32),
+        (-w * np.sin(ang) / m).astype(np.float32),
+    )
+
+
+def _r2c_kernel(c_ref, s_ref, x_ref, or_ref, oi_ref):
+    x = x_ref[...]
+    or_ref[...] = _mm(x, c_ref[...])
+    oi_ref[...] = _mm(x, s_ref[...])
+
+
+def _c2r_kernel(cw_ref, sw_ref, xr_ref, xi_ref, o_ref):
+    o_ref[...] = _mm(xr_ref[...], cw_ref[...]) + _mm(xi_ref[...], sw_ref[...])
+
+
+def _pick_rtile(r: int) -> int:
+    for rt in (512, 256, 128, 64, 32, 16, 8):
+        if r % rt == 0:
+            return rt
+    return r
+
+
+def rfft_pass_padded(x, m: int):
+    """r2c of the MINOR axis of a real 2D view (R, n_in), zero-padded to m.
+    Returns split (R, m/2+1) float32 pairs. Lane-contraction matmul: the
+    transform axis is already minor, so the MXU contracts at full width."""
+    r_dim, n_in = x.shape
+    fx = m // 2 + 1
+    c, s = _r2c_mats(n_in, m)
+    rt = _pick_rtile(r_dim)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _r2c_kernel,
+        grid=(r_dim // rt,),
+        in_specs=[
+            mat_spec(c),
+            mat_spec(s),
+            pl.BlockSpec((rt, n_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rt, fx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 2,
+        out_shape=[jax.ShapeDtypeStruct((r_dim, fx), jnp.float32)] * 2,
+        interpret=_use_interpret(),
+    )(jnp.asarray(c), jnp.asarray(s), x)
+
+
+def irfft_pass_truncated(xr, xi, m: int, n_out: int):
+    """c2r of the MINOR axis from split (R, m/2+1) pairs, keeping the first
+    ``n_out`` real outputs of the length-m inverse."""
+    r_dim, fx = xr.shape
+    cw, sw = _c2r_mats(m, n_out)
+    rt = _pick_rtile(r_dim)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_spec = pl.BlockSpec((rt, fx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _c2r_kernel,
+        grid=(r_dim // rt,),
+        in_specs=[mat_spec(cw), mat_spec(sw), in_spec, in_spec],
+        out_specs=pl.BlockSpec(
+            (rt, n_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_dim, n_out), jnp.float32),
+        interpret=_use_interpret(),
+    )(jnp.asarray(cw), jnp.asarray(sw), xr, xi)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pallas_fft_supported(m: int) -> bool:
+    m1, m2 = _best_factors(m)
+    return m >= 64 and m1 >= 4 and m2 % 2 == 0

@@ -1,0 +1,124 @@
+"""Pallas fused FFT-pass kernels vs numpy oracles (interpret mode on CPU;
+the same kernels compile natively on TPU and carry the production Poisson
+path there)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sopht_mpi_tpu.parallel.pallas_fft import (
+    fft_pass_padded,
+    ifft_pass_truncated,
+    irfft_pass_truncated,
+    rfft_pass_padded,
+)
+
+
+@pytest.mark.parametrize("m", [64, 128, 512])
+def test_fft_pass_padded(m):
+    rng = np.random.default_rng(1)
+    a_dim, b = 3, 12
+    x = (
+        rng.standard_normal((a_dim, m // 2, b))
+        + 1j * rng.standard_normal((a_dim, m // 2, b))
+    ).astype(np.complex64)
+    zr, zi = fft_pass_padded(jnp.asarray(x.real), jnp.asarray(x.imag), m)
+    ref = np.fft.fft(x, n=m, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(zr) + 1j * np.asarray(zi),
+        ref,
+        atol=2e-6 * np.abs(ref).max(),
+    )
+
+
+@pytest.mark.parametrize("with_greens", [False, True])
+@pytest.mark.parametrize("m", [64, 512])
+def test_ifft_pass_truncated(m, with_greens):
+    rng = np.random.default_rng(2)
+    a_dim, b = 2, 12
+    f = (
+        rng.standard_normal((a_dim, m, b))
+        + 1j * rng.standard_normal((a_dim, m, b))
+    ).astype(np.complex64)
+    g = rng.standard_normal((a_dim, m, b)).astype(np.float32)
+    yr, yi = ifft_pass_truncated(
+        jnp.asarray(f.real),
+        jnp.asarray(f.imag),
+        jnp.asarray(g) if with_greens else None,
+    )
+    ref = np.fft.ifft(f * g if with_greens else f, axis=1)[:, : m // 2]
+    np.testing.assert_allclose(
+        np.asarray(yr) + 1j * np.asarray(yi),
+        ref,
+        atol=2e-6 * np.abs(ref).max(),
+    )
+
+
+def test_rfft_irfft_pass_roundtrip():
+    rng = np.random.default_rng(3)
+    r_dim, n = 24, 64
+    m = 2 * n
+    x = rng.standard_normal((r_dim, n)).astype(np.float32)
+    fr, fi = rfft_pass_padded(jnp.asarray(x), m)
+    ref = np.fft.rfft(x, n=m, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(fr) + 1j * np.asarray(fi),
+        ref,
+        atol=2e-6 * np.abs(ref).max(),
+    )
+    y = irfft_pass_truncated(fr, fi, m, n)
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-6 * np.abs(x).max())
+
+
+def test_pallas_convolve_matches_reference_path():
+    """The all-Pallas free-space convolution equals the mxu/jnp solve."""
+    from sopht_mpi_tpu.ops.poisson import (
+        _pallas_convolve_local,
+        _padded_rfftn_local,
+        _truncated_irfftn_local,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 32
+    rhs = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    greens = jnp.asarray(
+        rng.standard_normal((2 * n, 2 * n, n + 1)), jnp.float32
+    )
+    out = _pallas_convolve_local(rhs, greens, (2 * n, 2 * n, 2 * n))
+    ref = jnp.stack(
+        [
+            _truncated_irfftn_local(
+                _padded_rfftn_local(rhs[c], (2 * n, 2 * n, 2 * n)) * greens,
+                (n, n, n),
+            )
+            for c in range(3)
+        ]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(ref),
+        atol=5e-6 * float(jnp.abs(ref).max()),
+    )
+
+
+def test_pallas_convolve_2d():
+    from sopht_mpi_tpu.ops.poisson import (
+        _pallas_convolve_local,
+        _padded_rfftn_local,
+        _truncated_irfftn_local,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 64
+    rhs = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    greens = jnp.asarray(rng.standard_normal((2 * n, n + 1)), jnp.float32)
+    out = _pallas_convolve_local(rhs, greens, (2 * n, 2 * n))
+    ref = _truncated_irfftn_local(
+        _padded_rfftn_local(rhs, (2 * n, 2 * n)) * greens, (n, n)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(ref),
+        atol=5e-6 * float(jnp.abs(ref).max()),
+    )
