@@ -176,7 +176,6 @@ def build_rod_fsi_step(
     flow_step = flow_sim._step_fn.__wrapped__
     flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
     dim = flow_sim.grid_dim
-    n_nodes, n_elems = rod.n_elems + 1, rod.n_elems
 
     def rod_flow_loads(rod_state, vb_state, velocity_field):
         interaction = compute_interaction_force_on_lag_grid(

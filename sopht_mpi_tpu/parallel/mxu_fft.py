@@ -66,7 +66,7 @@ def _twiddle(m: int, m1: int, m2: int, k2_len: int, dtype=np.float32):
     return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 
-def _cmatmul(cr, ci, xr, xi, *, conj_w=False):
+def _cmatmul(cr, ci, xr, xi):
     """(C - iS)(xr + i xi) contracted over the shared first axis of x:
     einsum 'kn,n...->k...' at HIGHEST precision (full f32 on MXU)."""
     e = lambda a, b: jnp.einsum(
@@ -76,10 +76,9 @@ def _cmatmul(cr, ci, xr, xi, *, conj_w=False):
         preferred_element_type=b.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    s = -1.0 if conj_w else 1.0
-    # W = C - s*iS
-    yr = e(cr, xr) + s * e(ci, xi)
-    yi = e(cr, xi) - s * e(ci, xr)
+    # W = C - iS
+    yr = e(cr, xr) + e(ci, xi)
+    yi = e(cr, xi) - e(ci, xr)
     return yr, yi
 
 

@@ -71,13 +71,6 @@ def _inv_mats(m: int):
     return (f32(a.real), f32(a.imag)), (f32(w2.real), f32(w2.imag))
 
 
-def _cdot(eq, mr, mi, xr, xi):
-    e = lambda a, b: jnp.einsum(
-        eq, a, b, preferred_element_type=jnp.float32, precision=_HIGHEST
-    )
-    return e(mr, xr) - e(mi, xi), e(mr, xi) + e(mi, xr)
-
-
 def _mm(a, x):
     return jax.lax.dot(a, x, precision=_HIGHEST,
                        preferred_element_type=jnp.float32)
