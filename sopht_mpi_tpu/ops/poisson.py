@@ -97,7 +97,10 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         fr = fr.reshape(c * nz, ny, fx)
         fi = fi.reshape(c * nz, ny, fx)
         fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, fx)
-        # z pass: view (c, nz, my*fx)
+        # z pass: view (c, nz, my*fx). (A single kernel fusing z-forward +
+        # greens + z-inverse was tried and measured 2.5x SLOWER: the
+        # combined VMEM working set forces tiny batch tiles and the long
+        # serial per-slice chain defeats Mosaic's pipelining.)
         fr = fr.reshape(c, nz, my * fx)
         fi = fi.reshape(c, nz, my * fx)
         fr, fi = fft_pass_padded(fr, fi, mz)  # (c, mz, my*fx)
