@@ -62,8 +62,10 @@ class GeneralConstraint:
 
     :param translational_constraint_selector: (3,) bool, lab frame - which
         node velocity/position components are fixed.
-    :param rotational_constraint_selector: (3,) bool, material frame -
-        which angular-velocity components are zeroed.
+    :param rotational_constraint_selector: (3,) bool, LAB frame (PyElastica
+        semantics) - which lab-frame angular-velocity components are
+        zeroed; e.g. ``[False, True, True]`` on a rod along x frees only
+        the axial spin.
     """
 
     def __init__(
@@ -97,9 +99,12 @@ class GeneralConstraint:
         vel = state.velocity.at[:, i].set(
             jnp.where(self.t_sel, 0.0, state.velocity[:, i])
         )
-        omega = state.omega.at[:, k].set(
-            jnp.where(self.r_sel, 0.0, state.omega[:, k])
-        )
+        # rotational selector acts in the LAB frame: rotate the element's
+        # angular velocity out, mask, rotate back
+        q = state.director[:, :, k]  # (3, 3): rows are material axes
+        w_lab = q.T @ state.omega[:, k]
+        w_lab = jnp.where(self.r_sel, 0.0, w_lab)
+        omega = state.omega.at[:, k].set(q @ w_lab)
         return state._replace(velocity=vel, omega=omega)
 
 

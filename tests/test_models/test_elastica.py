@@ -275,3 +275,48 @@ def test_rod_state_save_load_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(rod2.director_collection), np.asarray(rod.director_collection)
     )
+
+
+def test_general_constraint_allows_axial_rotation():
+    """GeneralConstraint with a free rotational axis lets the rod spin
+    about its tangent while staying clamped in translation
+    (the freely-rotating-rod case's boundary condition)."""
+    from sopht_mpi_tpu.models.elastica import GeneralConstraint
+
+    n_elem = 8
+    dt = 1e-4
+    sim = BaseSystemCollection()
+    rod = CosseratRod.straight_rod(
+        n_elem,
+        np.zeros(3),
+        np.array([0.0, 0.0, 1.0]),
+        np.array([0.0, 1.0, 0.0]),
+        L,
+        R,
+        RHO,
+        youngs_modulus=E,
+        shear_modulus=G,
+    )
+    sim.append(rod)
+    sim.constrain(rod).using(
+        GeneralConstraint,
+        constrained_position_idx=(0,),
+        constrained_director_idx=(0,),
+        translational_constraint_selector=np.array([True, True, True]),
+        rotational_constraint_selector=np.array([True, True, False]),
+    )
+    sim.finalize()
+    # rod tangent is lab z; the selector frees lab-z rotation, so an axial
+    # spin must NOT be suppressed
+    rod.omega_collection = (
+        np.zeros((3, n_elem)) + np.array([0.0, 0.0, 2.0])[:, None]
+    )
+    sim.run_steps(0.0, dt, 200)
+    omega = np.asarray(rod.omega_collection)
+    assert abs(omega[2, 0]) > 1.0  # axial spin survives at the clamp
+    # clamped translation: root node stays put
+    np.testing.assert_allclose(
+        np.asarray(rod.position_collection[:, 0]), 0.0, atol=1e-12
+    )
+    # transverse rotations at the clamp are suppressed
+    np.testing.assert_allclose(omega[:2, 0], 0.0, atol=1e-12)
