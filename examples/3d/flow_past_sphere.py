@@ -159,6 +159,94 @@ def flow_past_sphere_case(
     return np.array(times), np.array(drag_coeffs)
 
 
+def flow_past_sphere_fused_case(
+    nondim_time=10.0,
+    grid_size=(128, 128, 128),
+    reynolds=100.0,
+    coupling_stiffness=-6e5 / 4,
+    coupling_damping=-3.5e2 / 4,
+    precision="single",
+    window=100,
+):
+    """Same physics, whole coupled loop as one on-device ``lax.scan``
+    (models/fsi.py). Validated drag: Cd = 1.305 (64^3) / 1.224 (128^3) at
+    Re=100 (doc/validation_sphere_re100_drag_128.csv)."""
+    import jax
+    import jax.numpy as jnp
+    from sopht_mpi_tpu.models import (
+        RigidBodyFlowInteraction,
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+        build_rigid_fsi_step,
+        init_rigid_fsi_carry,
+        scan_steps,
+    )
+    from sopht_mpi_tpu.utils import get_real_t, logger
+
+    grid_size_z, grid_size_y, grid_size_x = grid_size
+    real_t = get_real_t(precision)
+    x_range = 1.0
+    far_field_velocity = 1.0
+    sphere_diameter = 0.4 * min(grid_size_z, grid_size_y) / grid_size_x * x_range
+    nu = far_field_velocity * sphere_diameter / reynolds
+    flow_sim = UnboundedFlowSimulator3D(
+        grid_size=grid_size,
+        x_range=x_range,
+        kinematic_viscosity=nu,
+        real_t=real_t,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+    )
+    sphere = Sphere(
+        center=np.array(
+            [0.25 * flow_sim.x_range, 0.5 * flow_sim.y_range,
+             0.5 * flow_sim.z_range]
+        ),
+        radius=sphere_diameter / 2.0,
+        dtype=real_t,
+    )
+    forcing_grid = SphereForcingGrid(
+        rigid_body=sphere,
+        num_forcing_points_along_equator=int(
+            1.875 * sphere_diameter / x_range * grid_size_x
+        ),
+    )
+    interactor = RigidBodyFlowInteraction(
+        flow_sim=flow_sim,
+        rigid_body=sphere,
+        forcing_grid=forcing_grid,
+        virtual_boundary_stiffness_coeff=coupling_stiffness,
+        virtual_boundary_damping_coeff=coupling_damping,
+    )
+    step = build_rigid_fsi_step(
+        flow_sim,
+        interactor,
+        dt_prefac=0.5,
+        free_stream_fn=lambda t: jnp.asarray(
+            [far_field_velocity, 0.0, 0.0], real_t
+        ),
+    )
+    carry = init_rigid_fsi_carry(flow_sim, interactor)
+    drag_scale = (
+        0.5 * far_field_velocity**2 * 0.25 * np.pi * sphere_diameter**2
+    )
+    timescale = sphere_diameter / far_field_velocity
+    t_end = nondim_time * timescale
+    times, drag_coeffs = [], []
+    while float(carry.time) < t_end:
+        carry, lag_forces = scan_steps(step, carry, window)
+        jax.block_until_ready(carry)
+        cd = float(np.abs(np.asarray(lag_forces[-1, 0]))) / drag_scale
+        times.append(float(carry.time) / timescale)
+        drag_coeffs.append(cd)
+        logger.info(f"t*={times[-1]:.2f} Cd={cd:.4f}")
+    np.savetxt(
+        "drag_vs_time.csv", np.c_[times, drag_coeffs], delimiter=","
+    )
+    return times, drag_coeffs
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--nondim-time", type=float, default=10.0)
@@ -166,6 +254,10 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--save-flow-data", action="store_true")
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="run the whole coupled loop as one on-device lax.scan",
+    )
     args = parser.parse_args()
 
     mesh = None
@@ -174,6 +266,13 @@ if __name__ == "__main__":
 
         mesh = create_mesh(3, (args.n_devices, 1))
     n = args.grid_size_x
+    if args.fused:
+        flow_past_sphere_fused_case(
+            nondim_time=args.nondim_time,
+            grid_size=(n, n, n),
+            precision=args.precision,
+        )
+        raise SystemExit(0)
     flow_past_sphere_case(
         nondim_time=args.nondim_time,
         grid_size=(n, n, n),

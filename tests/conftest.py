@@ -25,6 +25,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # double precision tier of the reference test matrix needs x64
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite is compilation-dominated (hundreds of
+# small jitted programs); repeat runs drop from ~12 min to a fraction
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 

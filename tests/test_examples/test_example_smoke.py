@@ -1,0 +1,44 @@
+"""Example-driver smoke tests at tiny scale (the reference's examples are
+its acceptance surface; these keep ours importable and running)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_EX = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "examples",
+)
+sys.path.insert(0, os.path.join(_EX, "2d"))
+sys.path.insert(0, os.path.join(_EX, "3d"))
+
+
+def test_lamb_oseen_example_converges():
+    from lamb_oseen_vortex import lamb_oseen_vortex_flow_case
+
+    l2, linf = lamb_oseen_vortex_flow_case(grid_size=(64, 64))
+    # coarse-grid error bound (128^2 reaches 3e-3 / 3.4e-2)
+    assert l2 < 2e-2 and linf < 2e-1
+
+
+def test_point_source_example_converges():
+    from point_source_advect_diffuse import (
+        point_source_advection_diffusion_case,
+    )
+
+    l2, linf = point_source_advection_diffusion_case(grid_size=(32, 32, 32))
+    # field peak ~8.9; relative Linf ~2% at 32^3
+    assert linf / 8.92 < 0.05
+
+
+def test_fused_cylinder_example_runs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from flow_past_cylinder import flow_past_cylinder_fused_case
+
+    times, cds = flow_past_cylinder_fused_case(
+        nondim_final_time=0.5, grid_size=(32, 64), window=20
+    )
+    assert len(times) > 0
+    assert np.isfinite(cds).all()
