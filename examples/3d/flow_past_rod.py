@@ -78,11 +78,16 @@ def flow_past_rod_case(
         rho_f * u_free_stream**2 * base_length**3 * base_diameter
     ) / (cauchy_number * moment_of_inertia)
     gravitational_acc = froude_number * u_free_stream**2 / base_diameter
-    # stretch-to-bending ratio EAL^2/EI; defaults to the physical value
-    # (es_eb = 1, no scaling) like the reference's experiment-matched driver
-    # (flow_past_rod_case.py:356-358 passes exp_Ks_Kb = A L^2 / I)
+    # stretch-to-bending ratio EAL^2/EI. The reference's driver passes the
+    # EXPERIMENTAL rod's ratio (~6.2e4 for the 25mm x 0.4mm filament,
+    # flow_past_rod_case.py:356-358) - much stiffer axially/in shear than
+    # the simulated thick rod's physical ratio, which would otherwise
+    # shear-slide under the flow instead of bending.
     if stretch_bending_ratio is None:
-        stretch_bending_ratio = base_area * base_length**2 / moment_of_inertia
+        exp_radius, exp_length = 0.2e-3, 25e-3
+        exp_area = np.pi * exp_radius**2
+        exp_moi = np.pi / 4 * exp_radius**4
+        stretch_bending_ratio = exp_area * exp_length**2 / exp_moi
     es_eb = stretch_bending_ratio * moment_of_inertia / (
         base_area * base_length**2
     )
@@ -112,7 +117,10 @@ def flow_past_rod_case(
         GravityForces, acc_gravity=np.array([0.0, 0.0, -gravitational_acc])
     )
     dl = base_length / n_elem
-    rod_dt = 0.01 * dl
+    # rod timestep: PyElastica's 0.01*dl heuristic, capped by the axial
+    # wave speed of the (stretch-stiffened) rod, c = sqrt(E*es_eb/rho)
+    axial_wave_speed = np.sqrt(youngs_modulus * es_eb / rho_s)
+    rod_dt = min(0.01 * dl, 0.3 * dl / axial_wave_speed)
     flow_past_sim.dampen(flow_past_rod).using(
         AnalyticalLinearDamper, damping_constant=1e-3, time_step=rod_dt
     )
