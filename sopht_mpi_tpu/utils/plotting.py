@@ -68,7 +68,12 @@ class Plotter2D:
         )
 
     def clearfig(self):
-        self.ax.cla()
+        # remove the colorbar BEFORE clearing the axes (removing it after
+        # cla() trips matplotlib's gridspec bookkeeping)
         if getattr(self, "_cbar", None) is not None:
-            self._cbar.remove()
+            try:
+                self._cbar.remove()
+            except (AttributeError, KeyError):  # already detached
+                pass
             self._cbar = None
+        self.ax.cla()
