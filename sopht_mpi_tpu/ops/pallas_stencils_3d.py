@@ -22,8 +22,6 @@ not fit VMEM or when not running on TPU (``interpret=True`` used in tests).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -83,8 +81,8 @@ def _diffusion_kernel(prefac_ref, f_zm, f_c, f_zp, out_ref):
         + jnp.pad(c[:, 2:, :] + c[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
         + jnp.pad(c[:, :, 2:] + c[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
     )
-    # re-add the y/x neighbor terms lost to the zero-ring padding is not
-    # needed: the ring is masked out below (flux = 0 on the wall ring)
+    # neighbor terms lost to the zero-padding only affect the wall ring,
+    # which the mask zeroes anyway (flux = 0 on the ring)
     mask = _ring_mask(ny, nx, c.dtype)
     on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
     flux = jnp.where(on_z_wall, 0.0, 1.0) * p * mask * lap
@@ -100,7 +98,7 @@ def diffusion_timestep_vector_3d_pallas(vector_field, nu_dt_by_dx2, *, interpret
     plane = lambda off: pl.BlockSpec(
         (3, 1, ny, nx),
         lambda i: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
-        memory_space=pltpu.ANY if False else pltpu.VMEM,
+        memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         _diffusion_kernel,
