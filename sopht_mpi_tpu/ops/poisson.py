@@ -42,14 +42,25 @@ from sopht_mpi_tpu.parallel.fft import (
 
 
 def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
-    """Fast fused Pallas path: TPU backend, float32, supported axis sizes."""
-    from sopht_mpi_tpu.parallel.pallas_fft import pallas_fft_supported
+    """Fast fused Pallas path: TPU backend, float32, supported axis sizes
+    AND every pass's lane batch admits a valid Mosaic tile (non-power-of-two
+    grids can fail this; they fall back to the mxu path)."""
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        pallas_fft_supported,
+        pass_tile_ok,
+    )
 
-    return (
+    if not (
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
         and all(pallas_fft_supported(m) for m in doubled[:-1])
-    )
+    ):
+        return False
+    fx = doubled[-1] // 2 + 1
+    if len(doubled) == 2:
+        return pass_tile_ok(fx, doubled[0])
+    mz, my = doubled[0], doubled[1]
+    return pass_tile_ok(fx, my) and pass_tile_ok(my * fx, mz)
 
 
 def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):

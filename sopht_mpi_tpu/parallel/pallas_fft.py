@@ -144,17 +144,26 @@ def _inv_kernel(m, m1, m2, with_greens, *refs):
     oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
 
 
-def _pick_btile(b: int, budget_elems: int) -> int:
-    """Largest divisor of b that is <= budget_elems and (when possible) a
-    multiple of 128 lanes."""
-    best = None
-    for bt in range(min(b, budget_elems), 0, -1):
-        if b % bt == 0:
-            if bt % 128 == 0:
-                return bt
-            if best is None:
-                best = bt
-    return best or b
+def _pick_btile(b: int, budget_elems: int):
+    """Largest valid Mosaic lane tile: a divisor of b that is a multiple
+    of 128, or the full axis (b itself) if it fits the budget. Returns
+    None when no valid tile exists (callers fall back to the mxu path)."""
+    for bt in range(min(b, budget_elems), 127, -1):
+        if b % bt == 0 and bt % 128 == 0:
+            return bt
+    if b <= budget_elems:
+        return b
+    return None
+
+
+def _pass_budget(m: int) -> int:
+    return max(128, (2 * 1024 * 1024) // (4 * m))
+
+
+def pass_tile_ok(b: int, m: int) -> bool:
+    """Whether a middle-axis pass of length m over lane batch b admits a
+    valid VMEM tile."""
+    return _pick_btile(b, _pass_budget(m)) is not None
 
 
 def fft_pass_padded(xr, xi, axis_len_out: int):
@@ -164,7 +173,8 @@ def fft_pass_padded(xr, xi, axis_len_out: int):
     m1, m2 = _best_factors(m)
     a_dim, l_in, b = xr.shape
     assert 2 * l_in == m
-    bt = _pick_btile(b, max(128, (2 * 1024 * 1024) // (4 * m)))
+    bt = _pick_btile(b, _pass_budget(m))
+    assert bt is not None, (b, m)
     kern = functools.partial(_fwd_kernel, m, m1, m2)
     (w2r, w2i), (ar, ai) = _fwd_mats(m)
     mat_spec = lambda arr: pl.BlockSpec(
@@ -199,7 +209,8 @@ def ifft_pass_truncated(xr, xi, greens=None):
     optional real spectral multiplier folded into the load."""
     a_dim, m, b = xr.shape
     m1, m2 = _best_factors(m)
-    bt = _pick_btile(b, max(128, (2 * 1024 * 1024) // (4 * m)))
+    bt = _pick_btile(b, _pass_budget(m))
+    assert bt is not None, (b, m)
     kern = functools.partial(_inv_kernel, m, m1, m2, greens is not None)
     (ar, ai), (w2r, w2i) = _inv_mats(m)
     mat_spec = lambda arr: pl.BlockSpec(
