@@ -240,3 +240,59 @@ def test_rod_fsi_scan_runs_and_is_finite():
     assert np.isfinite(tip1).all()
     assert not np.allclose(tip0, tip1)  # flow pushed the rod
     assert float(carry.time) > 0
+
+
+def test_rigid_fsi_scan_sharded_matches_single():
+    """The full fused FSI step over a (4,2) pencil mesh equals the
+    single-device result (the multi-chip production path: sharded fields,
+    distributed FFT with all_to_all transposes, SPMD stencils)."""
+    import numpy as np
+    from sopht_mpi_tpu.models import (
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+    )
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    def build(mesh):
+        flow_sim = UnboundedFlowSimulator3D(
+            grid_size=(16, 16, 16),
+            x_range=1.0,
+            kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True,
+            real_t=jnp.float64,
+            mesh=mesh,
+        )
+        sphere = Sphere(
+            center=np.array([0.5, 0.5, 0.5]), radius=0.15, dtype=jnp.float64
+        )
+        grid = SphereForcingGrid(
+            rigid_body=sphere, num_forcing_points_along_equator=8
+        )
+        interactor = RigidBodyFlowInteraction(
+            flow_sim=flow_sim,
+            rigid_body=sphere,
+            forcing_grid=grid,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+        )
+        # seeded vorticity so the Poisson/stencil paths carry real data
+        key = jax.random.PRNGKey(7)
+        flow_sim.primary_field = flow_sim.primary_field + 0.1 * jax.random.normal(
+            key, flow_sim.primary_field.shape, jnp.float64
+        )
+        step = build_rigid_fsi_step(
+            flow_sim,
+            interactor,
+            dt_prefac=0.5,
+            free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
+        )
+        carry, _ = scan_steps(
+            step, init_rigid_fsi_carry(flow_sim, interactor), 3
+        )
+        return np.asarray(carry.flow_state.primary_field)
+
+    single = build(None)
+    sharded = build(create_mesh(3, (4, 2)))
+    np.testing.assert_allclose(sharded, single, atol=1e-10)
