@@ -155,6 +155,33 @@ def _even_reflected_axis_dist(n_doubled: int, dx: float, axis_range: float, dtyp
     return np.minimum(x, 2.0 * axis_range - x).astype(dtype)
 
 
+def _device_greens_build(flag: bool | None, doubled_elems: int) -> bool:
+    """Auto policy: build the Green's function on device for large grids
+    (where the host upload dominates init time); keep the float64 host
+    build for small/test grids."""
+    if flag is not None:
+        return flag
+    return doubled_elems >= 2**24 and jax.default_backend() == "tpu"
+
+
+def _greens_on_device(axis_dists, compute_greens, regularized_origin, dtype):
+    """Assemble the even-reflected Green's function ON DEVICE from tiny
+    per-axis distance vectors. The host path uploads the full (2N)^dim real
+    kernel through the host->TPU link (4.3 GB at 512^3 over this
+    environment's tunnel); here only O(N) bytes ever leave the host."""
+    @jax.jit
+    def build(*dists):
+        nd = len(dists)
+        sq = sum(
+            d.reshape((-1,) + (1,) * (nd - 1 - i)) ** 2
+            for i, d in enumerate(dists)
+        )
+        g = compute_greens(jnp.sqrt(sq))
+        return g.at[(0,) * nd].set(regularized_origin).astype(dtype)
+
+    return build(*[jnp.asarray(d, dtype=dtype) for d in axis_dists])
+
+
 class UnboundedPoissonSolver2D:
     """Free-space Poisson solver on a 2D (ny, nx) grid.
 
@@ -166,7 +193,8 @@ class UnboundedPoissonSolver2D:
     grid_dim = 2
 
     def __init__(self, grid_size_y, grid_size_x, x_range=1.0,
-                 real_t=jnp.float32, mesh=None):
+                 real_t=jnp.float32, mesh=None,
+                 build_greens_on_device: bool | None = None):
         self.grid_size_y = grid_size_y
         self.grid_size_x = grid_size_x
         self.x_range = x_range
@@ -181,13 +209,20 @@ class UnboundedPoissonSolver2D:
         dxs = _even_reflected_axis_dist(
             2 * grid_size_x, self.dx, self.x_range, np.float64
         )
-        r = np.sqrt(dy[:, None] ** 2 + dxs[None, :] ** 2)
-        with np.errstate(divide="ignore"):
-            greens = -np.log(r) / (2.0 * np.pi)
-        greens[0, 0] = -(2.0 * np.log(self.dx / np.sqrt(np.pi)) - 1.0) / (
-            4.0 * np.pi
-        )
-        self._init_fourier_greens(greens.astype(np.dtype(real_t)))
+        origin = -(2.0 * np.log(self.dx / np.sqrt(np.pi)) - 1.0) / (4.0 * np.pi)
+        if _device_greens_build(build_greens_on_device, 4 * grid_size_y
+                                * grid_size_x):
+            greens = _greens_on_device(
+                (dy, dxs), lambda r: -jnp.log(r) / (2.0 * np.pi), origin,
+                np.dtype(real_t),
+            )
+        else:
+            r = np.sqrt(dy[:, None] ** 2 + dxs[None, :] ** 2)
+            with np.errstate(divide="ignore"):
+                greens = -np.log(r) / (2.0 * np.pi)
+            greens[0, 0] = origin
+            greens = greens.astype(np.dtype(real_t))
+        self._init_fourier_greens(greens)
 
     def _init_fourier_greens(self, greens: np.ndarray):
         """Forward-transform the (real-spectrum) Green's function once,
@@ -236,7 +271,8 @@ class UnboundedPoissonSolver3D:
     grid_dim = 3
 
     def __init__(self, grid_size_z, grid_size_y, grid_size_x, x_range=1.0,
-                 real_t=jnp.float32, mesh=None):
+                 real_t=jnp.float32, mesh=None,
+                 build_greens_on_device: bool | None = None):
         self.grid_size_z = grid_size_z
         self.grid_size_y = grid_size_y
         self.grid_size_x = grid_size_x
@@ -256,16 +292,23 @@ class UnboundedPoissonSolver3D:
         dxs = _even_reflected_axis_dist(
             2 * grid_size_x, self.dx, self.x_range, np.float64
         )
-        r = np.sqrt(
-            dz[:, None, None] ** 2 + dy[None, :, None] ** 2
-            + dxs[None, None, :] ** 2
-        )
-        with np.errstate(divide="ignore"):
-            greens = 1.0 / (4.0 * np.pi * r)
-        greens[0, 0, 0] = 1.0 / (4.0 * np.pi * self.dx)
-        UnboundedPoissonSolver2D._init_fourier_greens(
-            self, greens.astype(np.dtype(real_t))
-        )
+        origin = 1.0 / (4.0 * np.pi * self.dx)
+        if _device_greens_build(build_greens_on_device, 8 * grid_size_z
+                                * grid_size_y * grid_size_x):
+            greens = _greens_on_device(
+                (dz, dy, dxs), lambda r: 1.0 / (4.0 * np.pi * r), origin,
+                np.dtype(real_t),
+            )
+        else:
+            r = np.sqrt(
+                dz[:, None, None] ** 2 + dy[None, :, None] ** 2
+                + dxs[None, None, :] ** 2
+            )
+            with np.errstate(divide="ignore"):
+                greens = 1.0 / (4.0 * np.pi * r)
+            greens[0, 0, 0] = origin
+            greens = greens.astype(np.dtype(real_t))
+        UnboundedPoissonSolver2D._init_fourier_greens(self, greens)
 
     def solve(self, rhs_field, greens=None):
         """Solve ``-del^2(solution) = rhs`` (shape (nz, ny, nx)).
