@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sopht_mpi_tpu.parallel.fft import (
-    distributed_irfftn,
+    distributed_free_space_convolve,
     distributed_rfftn,
 )
 
@@ -254,11 +254,7 @@ class UnboundedPoissonSolver2D:
                 return _pallas_convolve_local(rhs_field, greens, doubled)
             fhat = _padded_rfftn_local(rhs_field, doubled)
             return _truncated_irfftn_local(fhat * greens, (ny, nx))
-        doubled = jnp.pad(rhs_field, ((0, ny), (0, nx)))
-        fhat = distributed_rfftn(doubled, self.mesh)
-        fhat = fhat * greens
-        sol = distributed_irfftn(fhat, nx=2 * nx, mesh=self.mesh)
-        return sol[:ny, :nx]
+        return distributed_free_space_convolve(rhs_field, greens, self.mesh)
 
 
 class UnboundedPoissonSolver3D:
@@ -325,11 +321,7 @@ class UnboundedPoissonSolver3D:
                 return _pallas_convolve_local(rhs_field, greens, doubled)
             fhat = _padded_rfftn_local(rhs_field, doubled)
             return _truncated_irfftn_local(fhat * greens, (nz, ny, nx))
-        doubled = jnp.pad(rhs_field, ((0, nz), (0, ny), (0, nx)))
-        fhat = distributed_rfftn(doubled, self.mesh)
-        fhat = fhat * greens
-        sol = distributed_irfftn(fhat, nx=2 * nx, mesh=self.mesh)
-        return sol[:nz, :ny, :nx]
+        return distributed_free_space_convolve(rhs_field, greens, self.mesh)
 
     def vector_field_solve(self, rhs_vector_field, greens=None):
         """Component-wise solve for a (3, nz, ny, nx) vector field

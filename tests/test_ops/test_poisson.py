@@ -123,3 +123,19 @@ def test_poisson_sharded_matches_single(dim, mesh_shape):
     rhs_sharded = shard_scalar_field(jnp.asarray(rhs), mesh)
     out_multi = np.asarray(jax.jit(multi.solve)(rhs_sharded))
     np.testing.assert_allclose(out_multi, out_single, atol=1e-12)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (2, 4)])
+def test_poisson_sharded_matches_single_asymmetric_grid(mesh_shape):
+    """Distinct nz/ny/nx catch axis mix-ups in the lazy-padded distributed
+    convolution (parallel/fft.py distributed_free_space_convolve)."""
+    nz, ny, nx = 8, 16, 32
+    rng = np.random.default_rng(7)
+    rhs = rng.standard_normal((nz, ny, nx))
+    single = UnboundedPoissonSolver3D(nz, ny, nx, real_t=jnp.float64)
+    mesh = create_mesh(3, mesh_shape)
+    multi = UnboundedPoissonSolver3D(nz, ny, nx, real_t=jnp.float64, mesh=mesh)
+    out_single = np.asarray(single.solve(jnp.asarray(rhs)))
+    rhs_sharded = shard_scalar_field(jnp.asarray(rhs), mesh)
+    out_multi = np.asarray(jax.jit(multi.solve)(rhs_sharded))
+    np.testing.assert_allclose(out_multi, out_single, atol=1e-12)
