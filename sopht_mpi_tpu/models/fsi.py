@@ -148,25 +148,43 @@ def build_rod_fsi_step(
     flow_sim,
     interactor,
     rod_collection,
-    rod_substeps: int,
+    rod_substeps: int | None = None,
     dt_prefac=0.5,
     free_stream_fn: Callable | None = None,
+    *,
+    rod_dt: float | None = None,
+    max_rod_substeps: int | None = None,
 ):
     """One fused coupled step for a two-way coupled Cosserat rod.
 
     Mirrors the reference loop (flow_past_rod.py:276-300): per flow step,
-    ``rod_substeps`` position-Verlet substeps each refresh the penalty flow
-    forces from the frozen flow velocity and integrate the IBM position
-    mismatch, then the summed Lagrangian forcing is spread onto the
-    Eulerian forcing field and the flow advances. ``rod_substeps`` is
-    static (the scan length), unlike the reference's per-step
-    ``int(flow_dt/rod_dt)`` - choose it as
-    ``ceil(expected_flow_dt / rod_dt)``.
+    the rod takes position-Verlet substeps, each refreshing the penalty
+    flow forces from the frozen flow velocity and integrating the IBM
+    position mismatch; then the summed Lagrangian forcing is spread onto
+    the Eulerian forcing field and the flow advances.
+
+    Substep control, two modes:
+
+    - static (``rod_substeps=k``): exactly ``k`` substeps per flow step
+      (the scan length) - choose ``ceil(expected_flow_dt / rod_dt)``;
+    - dynamic (``rod_dt=..., max_rod_substeps=...``): the reference's
+      per-step count ``int(flow_dt / min(flow_dt, rod_dt))``
+      (flow_past_rod.py:278-279), computed in-trace from the CFL flow dt.
+      The scan runs ``max_rod_substeps`` iterations (static shape) and
+      masks out iterations beyond the active count; the rod work is
+      O(markers), tiny next to the flow step, so the idle iterations cost
+      little.
 
     The rod must be the only system in ``rod_collection``, already
     ``finalize()``-d, with the ``FlowForces`` coupling NOT registered (the
     flow forces are computed in-trace here).
     """
+    dynamic = rod_substeps is None
+    if dynamic and (rod_dt is None or max_rod_substeps is None):
+        raise ValueError(
+            "pass either rod_substeps (static) or both rod_dt and "
+            "max_rod_substeps (dynamic)"
+        )
     assert rod_collection._finalized
     assert len(rod_collection._systems) == 1
     rod = rod_collection._systems[0]
@@ -191,26 +209,46 @@ def build_rod_fsi_step(
     def step(carry: RodFSICarry):
         flow_state, vb_state, rod_state, time, greens = carry
         dt = flow_dt(flow_state.velocity_field)
-        sub_dt = dt / rod_substeps
         real_t = flow_state.velocity_field.dtype
+        if dynamic:
+            # reference: int(flow_dt / min(flow_dt, rod_dt)), >= 1
+            n_sub = jnp.clip(
+                jnp.floor(dt / jnp.minimum(dt, rod_dt)).astype(jnp.int32),
+                1,
+                max_rod_substeps,
+            )
+            scan_length = max_rod_substeps
+        else:
+            n_sub = jnp.asarray(rod_substeps, jnp.int32)
+            scan_length = rod_substeps
+        sub_dt = dt / n_sub.astype(dt.dtype)
 
-        def substep(c, _):
-            rod_state, vb_state, t = c
-            forces, torques, mismatch = rod_flow_loads(
-                rod_state, vb_state, flow_state.velocity_field
-            )
-            rod_state = rod_step(
-                rod_state,
-                t.astype(rod_state.position.dtype),
-                sub_dt.astype(rod_state.position.dtype),
-                forces.astype(rod_state.position.dtype),
-                torques.astype(rod_state.position.dtype),
-            )
-            vb_state = virtual_boundary_time_step(vb_state, mismatch, sub_dt)
-            return (rod_state, vb_state, t + sub_dt), None
+        def substep(c, i):
+            def active(c):
+                rod_state, vb_state, t = c
+                forces, torques, mismatch = rod_flow_loads(
+                    rod_state, vb_state, flow_state.velocity_field
+                )
+                rod_state = rod_step(
+                    rod_state,
+                    t.astype(rod_state.position.dtype),
+                    sub_dt.astype(rod_state.position.dtype),
+                    forces.astype(rod_state.position.dtype),
+                    torques.astype(rod_state.position.dtype),
+                )
+                vb_state = virtual_boundary_time_step(
+                    vb_state, mismatch, sub_dt
+                )
+                return (rod_state, vb_state, t + sub_dt)
+
+            c = jax.lax.cond(i < n_sub, active, lambda c: c, c) \
+                if dynamic else active(c)
+            return c, None
 
         (rod_state, vb_state, _), _ = jax.lax.scan(
-            substep, (rod_state, vb_state, time), None, length=rod_substeps
+            substep,
+            (rod_state, vb_state, time),
+            jnp.arange(scan_length, dtype=jnp.int32),
         )
 
         eul_forcing, interaction = compute_interaction_force_on_eul_and_lag_grid(

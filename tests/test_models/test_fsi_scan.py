@@ -296,3 +296,62 @@ def test_rigid_fsi_scan_sharded_matches_single():
     single = build(None)
     sharded = build(create_mesh(3, (4, 2)))
     np.testing.assert_allclose(sharded, single, atol=1e-10)
+
+
+def test_rod_fsi_scan_dynamic_substeps_match_host_loop():
+    """Dynamic substep mode (rod_dt + max_rod_substeps) reproduces the
+    reference's per-step count ``int(flow_dt / min(flow_dt, rod_dt))``
+    (flow_past_rod.py:278-279) bit-for-bit against the host loop."""
+    from sopht_mpi_tpu.models import FlowForces
+
+    n_steps = 3
+    fsv = (1.0, 0.0)
+    rod_dt = 2e-4  # ~flow_dt / 2-4 for this case -> n_sub varies per step
+
+    flow_sim, rod, collection, interactor = _rod_case()
+    collection.add_forcing_to(rod).using(FlowForces, interactor)
+    collection.finalize()
+    ts = PositionVerlet()
+    do_step, stages = extend_stepper_interface(ts, collection)
+    rod_time = 0.0
+    host_counts = []
+    for _ in range(n_steps):
+        flow_dt = float(flow_sim.compute_stable_timestep(dt_prefac=0.5))
+        n_sub = int(flow_dt / min(flow_dt, rod_dt))
+        host_counts.append(n_sub)
+        local_rod_dt = flow_dt / n_sub
+        for _ in range(n_sub):
+            rod_time = do_step(ts, stages, collection, rod_time, local_rod_dt)
+            interactor.time_step(dt=local_rod_dt)
+        interactor()
+        flow_sim.time_step(flow_dt, free_stream_velocity=fsv)
+    assert max(host_counts) > 1  # the case must actually substep
+    host_vort = np.asarray(flow_sim.vorticity_field)
+    host_tip = np.asarray(rod.position_collection[:, -1])
+    host_mismatch = np.asarray(interactor.state.position_mismatch)
+
+    flow_sim2, rod2, collection2, interactor2 = _rod_case()
+    collection2.finalize()
+    step = build_rod_fsi_step(
+        flow_sim2,
+        interactor2,
+        collection2,
+        dt_prefac=0.5,
+        free_stream_fn=lambda t: jnp.asarray(fsv, jnp.float64),
+        rod_dt=rod_dt,
+        max_rod_substeps=max(host_counts) + 2,
+    )
+    carry, _ = scan_steps(
+        step, init_rod_fsi_carry(flow_sim2, interactor2, rod2), n_steps
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.flow_state.primary_scalar_field), host_vort,
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.rod_state.position[:, -1]), host_tip, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.vb_state.position_mismatch), host_mismatch,
+        atol=1e-13,
+    )
