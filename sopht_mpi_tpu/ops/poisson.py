@@ -43,8 +43,9 @@ from sopht_mpi_tpu.parallel.fft import (
 
 def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
     """Fast fused Pallas path: TPU backend, float32, supported axis sizes
-    AND every pass's lane batch admits a valid Mosaic tile (non-power-of-two
-    grids can fail this; they fall back to the mxu path)."""
+    AND every pass's lane batch admits a valid Mosaic tile. The middle
+    passes run on the BULK spectrum (mx/2 lanes, Nyquist split off), so
+    power-of-two grids always tile cleanly."""
     from sopht_mpi_tpu.parallel.pallas_fft import (
         pallas_fft_supported,
         pass_tile_ok,
@@ -56,72 +57,98 @@ def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
         and all(pallas_fft_supported(m) for m in doubled[:-1])
     ):
         return False
-    fx = doubled[-1] // 2 + 1
+    bulk = doubled[-1] // 2
     if len(doubled) == 2:
-        return pass_tile_ok(fx, doubled[0])
+        return pass_tile_ok(bulk, doubled[0])
     mz, my = doubled[0], doubled[1]
-    return pass_tile_ok(fx, my) and pass_tile_ok(my * fx, mz)
+    return pass_tile_ok(bulk, my) and pass_tile_ok(my * bulk, mz)
+
+
+def split_pallas_greens(greens):
+    """Split a dense real Fourier Green's function (.., fx) into the
+    (bulk, nyquist-column) pair consumed by ``_pallas_convolve_local``."""
+    return greens[..., :-1], greens[..., -1]
 
 
 def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
     """Free-space convolution with fused Pallas FFT passes: the spectrum
     lives in split real/imag float32 pairs, each y/z pass is one kernel
     (one HBM read + write), and the Green's multiply is folded into the
-    first inverse pass. ``rhs`` may carry a leading component axis (it is
-    folded into the kernels' batch dimension).
+    first inverse pass. The kx Nyquist column is split off by the r2c
+    kernel (keeping the bulk lane count a power of two) and convolved on a
+    cheap jnp side path of O(prod(doubled)/mx) elements. ``rhs`` may carry
+    a leading component axis (folded into the kernels' batch dimension);
+    ``greens`` is the (bulk, side) pair from :func:`split_pallas_greens`.
     """
     from sopht_mpi_tpu.parallel.pallas_fft import (
         fft_pass_padded,
         ifft_pass_truncated,
-        irfft_pass_truncated,
-        rfft_pass_padded,
+        irfft_pass_merge,
+        rfft_pass_padded_split,
     )
 
+    g_bulk, g_side = greens
     batched = rhs.ndim == len(doubled) + 1
     if not batched:
         rhs = rhs[None]
     c = rhs.shape[0]
     nd = len(doubled)
     mx = doubled[-1]
-    fx = mx // 2 + 1
+    bx = mx // 2  # bulk spectral width
 
     if nd == 2:
         ny, nx = rhs.shape[1], rhs.shape[2]
         my = doubled[0]
-        # x pass (minor axis, lane-contraction r2c matmul kernel)
-        fr, fi = rfft_pass_padded(rhs.reshape(c * ny, nx), mx)
-        fr = fr.reshape(c, ny, fx)
-        fi = fi.reshape(c, ny, fx)
-        # y pass: (c, ny, fx) -> (c, my, fx)
+        fr, fi, sr, si = rfft_pass_padded_split(rhs.reshape(c * ny, nx), mx)
+        fr = fr.reshape(c, ny, bx)
+        fi = fi.reshape(c, ny, bx)
+        # bulk y pass: (c, ny, bx) -> (c, my, bx)
         fr, fi = fft_pass_padded(fr, fi, my)
-        g = jnp.broadcast_to(greens[None], (c, my, fx))
-        fr, fi = ifft_pass_truncated(fr, fi, g)
-        sol = irfft_pass_truncated(
-            fr.reshape(c * ny, fx), fi.reshape(c * ny, fx), mx, nx
+        fr, fi = ifft_pass_truncated(fr, fi, g_bulk[None])
+        # Nyquist column side path (c, ny) complex
+        s = jax.lax.complex(sr, si).reshape(c, ny)
+        s = jnp.fft.fft(s, n=my, axis=1) * g_side[None, :]
+        s = jnp.fft.ifft(s, axis=1)[:, :ny]
+        sol = irfft_pass_merge(
+            fr.reshape(c * ny, bx), fi.reshape(c * ny, bx),
+            jnp.real(s).reshape(c * ny, 1), jnp.imag(s).reshape(c * ny, 1),
+            mx, nx,
         ).reshape(c, ny, nx)
     else:
         nz, ny, nx = rhs.shape[1], rhs.shape[2], rhs.shape[3]
         mz, my = doubled[0], doubled[1]
-        # x pass (minor axis, lane-contraction r2c matmul kernel)
-        fr, fi = rfft_pass_padded(rhs.reshape(c * nz * ny, nx), mx)
-        # y pass: fold (c, nz) into the kernel batch dim
-        fr = fr.reshape(c * nz, ny, fx)
-        fi = fi.reshape(c * nz, ny, fx)
-        fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, fx)
-        # z pass: view (c, nz, my*fx). (A single kernel fusing z-forward +
-        # greens + z-inverse was tried and measured 2.5x SLOWER: the
-        # combined VMEM working set forces tiny batch tiles and the long
-        # serial per-slice chain defeats Mosaic's pipelining.)
-        fr = fr.reshape(c, nz, my * fx)
-        fi = fi.reshape(c, nz, my * fx)
-        fr, fi = fft_pass_padded(fr, fi, mz)  # (c, mz, my*fx)
-        g = jnp.broadcast_to(greens.reshape(1, mz, my * fx), (c, mz, my * fx))
-        fr, fi = ifft_pass_truncated(fr, fi, g)  # (c, nz, my*fx)
-        fr = fr.reshape(c * nz, my, fx)
-        fi = fi.reshape(c * nz, my, fx)
-        fr, fi = ifft_pass_truncated(fr, fi)  # (c*nz, ny, fx)
-        sol = irfft_pass_truncated(
-            fr.reshape(c * nz * ny, fx), fi.reshape(c * nz * ny, fx), mx, nx
+        fr, fi, sr, si = rfft_pass_padded_split(
+            rhs.reshape(c * nz * ny, nx), mx
+        )
+        # bulk y pass: fold (c, nz) into the kernel batch dim
+        fr = fr.reshape(c * nz, ny, bx)
+        fi = fi.reshape(c * nz, ny, bx)
+        fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, bx)
+        # bulk z pass: view (c, nz, my*bx). (A single kernel fusing
+        # z-forward + greens + z-inverse was tried and measured 2.5x
+        # SLOWER: the combined VMEM working set forces tiny batch tiles and
+        # the long serial per-slice chain defeats Mosaic's pipelining.)
+        fr = fr.reshape(c, nz, my * bx)
+        fi = fi.reshape(c, nz, my * bx)
+        fr, fi = fft_pass_padded(fr, fi, mz)  # (c, mz, my*bx)
+        fr, fi = ifft_pass_truncated(
+            fr, fi, g_bulk.reshape(1, mz, my * bx)
+        )  # (c, nz, my*bx)
+        fr = fr.reshape(c * nz, my, bx)
+        fi = fi.reshape(c * nz, my, bx)
+        fr, fi = ifft_pass_truncated(fr, fi)  # (c*nz, ny, bx)
+        # Nyquist column side path (c, nz, ny) complex
+        s = jax.lax.complex(sr, si).reshape(c, nz, ny)
+        s = jnp.fft.fft(s, n=my, axis=2)
+        s = jnp.fft.fft(s, n=mz, axis=1)
+        s = s * g_side[None]
+        s = jnp.fft.ifft(s, axis=1)[:, :nz]
+        s = jnp.fft.ifft(s, axis=2)[:, :, :ny]
+        sol = irfft_pass_merge(
+            fr.reshape(c * nz * ny, bx), fi.reshape(c * nz * ny, bx),
+            jnp.real(s).reshape(c * nz * ny, 1),
+            jnp.imag(s).reshape(c * nz * ny, 1),
+            mx, nx,
         ).reshape(c, nz, ny, nx)
     return sol if batched else sol[0]
 
@@ -226,13 +253,32 @@ class UnboundedPoissonSolver2D:
 
     def _init_fourier_greens(self, greens: np.ndarray):
         """Forward-transform the (real-spectrum) Green's function once,
-        scaled by dx^dim (the convolution quadrature weight)."""
+        scaled by dx^dim (the convolution quadrature weight). When the
+        fused Pallas path will serve the solves, the canonical stored
+        format is the (bulk, nyquist) split pair it consumes."""
         from sopht_mpi_tpu.parallel.mesh import shard_scalar_field
 
+        doubled = greens.shape
         g = shard_scalar_field(jnp.asarray(greens), self.mesh)
         ghat = distributed_rfftn(g, self.mesh)
         scale = self.dx**self.grid_dim
-        self.fourier_greens_times_dx_pow_dim = jnp.real(ghat) * scale
+        dense = jnp.real(ghat) * scale
+        if (self.mesh is None or self.mesh.size == 1) and (
+            _pallas_convolve_supported(doubled, self.real_t)
+        ):
+            self.fourier_greens_times_dx_pow_dim = split_pallas_greens(dense)
+        else:
+            self.fourier_greens_times_dx_pow_dim = dense
+
+    def _dense_greens(self, greens=None):
+        """The dense (.., fx) real Fourier Green's function, reassembled
+        from the split pair if that is the stored format."""
+        if greens is None:
+            greens = self.fourier_greens_times_dx_pow_dim
+        if isinstance(greens, tuple):
+            bulk, side = greens
+            return jnp.concatenate([bulk, side[..., None]], axis=-1)
+        return greens
 
     def solve(self, rhs_field, greens=None):
         """Solve ``-del^2(solution) = rhs`` for an unbounded domain.
@@ -251,10 +297,16 @@ class UnboundedPoissonSolver2D:
         if self.mesh is None or self.mesh.size == 1:
             doubled = (2 * ny, 2 * nx)
             if _pallas_convolve_supported(doubled, rhs_field.dtype):
+                if not isinstance(greens, tuple):
+                    greens = split_pallas_greens(greens)
                 return _pallas_convolve_local(rhs_field, greens, doubled)
             fhat = _padded_rfftn_local(rhs_field, doubled)
-            return _truncated_irfftn_local(fhat * greens, (ny, nx))
-        return distributed_free_space_convolve(rhs_field, greens, self.mesh)
+            return _truncated_irfftn_local(
+                fhat * self._dense_greens(greens), (ny, nx)
+            )
+        return distributed_free_space_convolve(
+            rhs_field, self._dense_greens(greens), self.mesh
+        )
 
 
 class UnboundedPoissonSolver3D:
@@ -306,6 +358,8 @@ class UnboundedPoissonSolver3D:
             greens = greens.astype(np.dtype(real_t))
         UnboundedPoissonSolver2D._init_fourier_greens(self, greens)
 
+    _dense_greens = UnboundedPoissonSolver2D._dense_greens
+
     def solve(self, rhs_field, greens=None):
         """Solve ``-del^2(solution) = rhs`` (shape (nz, ny, nx)).
 
@@ -318,10 +372,16 @@ class UnboundedPoissonSolver3D:
         if self.mesh is None or self.mesh.size == 1:
             doubled = (2 * nz, 2 * ny, 2 * nx)
             if _pallas_convolve_supported(doubled, rhs_field.dtype):
+                if not isinstance(greens, tuple):
+                    greens = split_pallas_greens(greens)
                 return _pallas_convolve_local(rhs_field, greens, doubled)
             fhat = _padded_rfftn_local(rhs_field, doubled)
-            return _truncated_irfftn_local(fhat * greens, (nz, ny, nx))
-        return distributed_free_space_convolve(rhs_field, greens, self.mesh)
+            return _truncated_irfftn_local(
+                fhat * self._dense_greens(greens), (nz, ny, nx)
+            )
+        return distributed_free_space_convolve(
+            rhs_field, self._dense_greens(greens), self.mesh
+        )
 
     def vector_field_solve(self, rhs_vector_field, greens=None):
         """Component-wise solve for a (3, nz, ny, nx) vector field
@@ -333,6 +393,8 @@ class UnboundedPoissonSolver3D:
         if self.mesh is None or self.mesh.size == 1:
             doubled = (2 * nz, 2 * ny, 2 * nx)
             if _pallas_convolve_supported(doubled, rhs_vector_field.dtype):
+                if not isinstance(greens, tuple):
+                    greens = split_pallas_greens(greens)
                 # components fold into the Pallas kernels' batch dimension
                 return _pallas_convolve_local(rhs_vector_field, greens, doubled)
             return jax.vmap(lambda f: self.solve(f, greens))(rhs_vector_field)
@@ -365,8 +427,7 @@ class UnboundedPoissonSolver3D:
         zeroed by both paths (curl_mpi_3d.py boundary zeroing semantics).
         """
         assert self.mesh is None or self.mesh.size == 1
-        if greens is None:
-            greens = self.fourier_greens_times_dx_pow_dim
+        greens = self._dense_greens(greens)
         nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
         doubled = (2 * nz, 2 * ny, 2 * nx)
         psi_hat = (

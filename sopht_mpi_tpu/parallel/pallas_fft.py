@@ -157,7 +157,7 @@ def _pick_btile(b: int, budget_elems: int):
 
 
 def _pass_budget(m: int) -> int:
-    return max(128, (2 * 1024 * 1024) // (4 * m))
+    return max(128, (3 * 512 * 1024) // (4 * m))
 
 
 def pass_tile_ok(b: int, m: int) -> bool:
@@ -205,8 +205,10 @@ def fft_pass_padded(xr, xi, axis_len_out: int):
 
 def ifft_pass_truncated(xr, xi, greens=None):
     """Inverse FFT along the MIDDLE axis of (A, m, B) float32 pairs,
-    keeping the first m/2 outputs. ``greens`` (same shape, float32) is an
-    optional real spectral multiplier folded into the load."""
+    keeping the first m/2 outputs. ``greens`` (float32, shape (A, m, B) or
+    (1, m, B)) is an optional real spectral multiplier folded into the
+    load; with a leading axis of 1 every A-block reads the SAME copy (no
+    broadcast materialization, 1/A the HBM reads)."""
     a_dim, m, b = xr.shape
     m1, m2 = _best_factors(m)
     bt = _pick_btile(b, _pass_budget(m))
@@ -217,7 +219,7 @@ def ifft_pass_truncated(xr, xi, greens=None):
         arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     # pre-split k = m2*k1 + k2 -> (k1, k2) outside the kernel (free view)
-    split = lambda arr: arr.reshape(a_dim, m1, m2, b)
+    split = lambda arr: arr.reshape(arr.shape[0], m1, m2, b)
     in_spec = pl.BlockSpec(
         (1, m1, m2, bt), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
     )
@@ -226,15 +228,23 @@ def ifft_pass_truncated(xr, xi, greens=None):
     )
     mats = [jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(w2r),
             jnp.asarray(w2i)]
-    data = (
-        [split(xr), split(xi)]
-        if greens is None
-        else [split(greens), split(xr), split(xi)]
-    )
+    if greens is None:
+        data = [split(xr), split(xi)]
+        data_specs = [in_spec, in_spec]
+    else:
+        shared = greens.shape[0] == 1
+        g_spec = pl.BlockSpec(
+            (1, m1, m2, bt),
+            (lambda i, j: (0, 0, 0, j)) if shared else
+            (lambda i, j: (i, 0, 0, j)),
+            memory_space=pltpu.VMEM,
+        )
+        data = [split(greens), split(xr), split(xi)]
+        data_specs = [g_spec, in_spec, in_spec]
     return pl.pallas_call(
         kern,
         grid=(a_dim, b // bt),
-        in_specs=[mat_spec(a) for a in mats] + [in_spec] * len(data),
+        in_specs=[mat_spec(a) for a in mats] + data_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((a_dim, m // 2, b), jnp.float32)] * 2,
         interpret=_use_interpret(),
@@ -243,6 +253,13 @@ def ifft_pass_truncated(xr, xi, greens=None):
 
 # ---------------------------------------------------------------------------
 # minor-axis r2c / c2r passes as lane-contraction matmuls
+#
+# The split variants separate the kx = m/2 Nyquist column from the bulk
+# spectrum: the bulk keeps m/2 lanes (a power of two for the production
+# grids, so the y/z middle passes tile without Mosaic's pad-to-384 waste on
+# fx = m/2 + 1 lanes) and the single Nyquist column rides a cheap jnp side
+# path. This is also what makes 512^3 (fx = 513, no valid 128-multiple
+# tile) eligible for the fused Pallas pipeline.
 # ---------------------------------------------------------------------------
 
 
@@ -342,6 +359,80 @@ def irfft_pass_truncated(xr, xi, m: int, n_out: int):
         out_shape=jax.ShapeDtypeStruct((r_dim, n_out), jnp.float32),
         interpret=_use_interpret(),
     )(jnp.asarray(cw), jnp.asarray(sw), xr, xi)
+
+
+def _r2c_split_kernel(cb_ref, sb_ref, cs_ref, ss_ref, x_ref,
+                      obr_ref, obi_ref, osr_ref, osi_ref):
+    x = x_ref[...]
+    obr_ref[...] = _mm(x, cb_ref[...])
+    obi_ref[...] = _mm(x, sb_ref[...])
+    osr_ref[...] = _mm(x, cs_ref[...])
+    osi_ref[...] = _mm(x, ss_ref[...])
+
+
+def _c2r_merge_kernel(cwb_ref, swb_ref, cws_ref, sws_ref,
+                      br_ref, bi_ref, sr_ref, si_ref, o_ref):
+    o_ref[...] = (
+        _mm(br_ref[...], cwb_ref[...])
+        + _mm(bi_ref[...], swb_ref[...])
+        + sr_ref[...] * cws_ref[...]  # outer product via broadcast (VPU)
+        + si_ref[...] * sws_ref[...]
+    )
+
+
+def rfft_pass_padded_split(x, m: int):
+    """r2c of the MINOR axis of a real 2D view (R, n_in), zero-padded to m,
+    with the Nyquist column split off: returns
+    ``(bulk_r, bulk_i, side_r, side_i)`` of shapes (R, m/2) and (R, 1)."""
+    r_dim, n_in = x.shape
+    mh = m // 2
+    c, s = _r2c_mats(n_in, m)
+    cb, sb = np.ascontiguousarray(c[:, :mh]), np.ascontiguousarray(s[:, :mh])
+    cs, ss = np.ascontiguousarray(c[:, mh:]), np.ascontiguousarray(s[:, mh:])
+    rt = _pick_rtile(r_dim)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    blk = lambda cols: pl.BlockSpec(
+        (rt, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _r2c_split_kernel,
+        grid=(r_dim // rt,),
+        in_specs=[mat_spec(cb), mat_spec(sb), mat_spec(cs), mat_spec(ss),
+                  blk(n_in)],
+        out_specs=[blk(mh), blk(mh), blk(1), blk(1)],
+        out_shape=[jax.ShapeDtypeStruct((r_dim, mh), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((r_dim, 1), jnp.float32)] * 2,
+        interpret=_use_interpret(),
+    )(jnp.asarray(cb), jnp.asarray(sb), jnp.asarray(cs), jnp.asarray(ss), x)
+
+
+def irfft_pass_merge(br, bi, sr, si, m: int, n_out: int):
+    """c2r of the MINOR axis from split bulk (R, m/2) / Nyquist (R, 1)
+    float32 pairs, keeping the first ``n_out`` real outputs."""
+    r_dim, mh = br.shape
+    assert 2 * mh == m
+    cw, sw = _c2r_mats(m, n_out)
+    cwb, swb = np.ascontiguousarray(cw[:mh]), np.ascontiguousarray(sw[:mh])
+    cws, sws = np.ascontiguousarray(cw[mh:]), np.ascontiguousarray(sw[mh:])
+    rt = _pick_rtile(r_dim)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    blk = lambda cols: pl.BlockSpec(
+        (rt, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _c2r_merge_kernel,
+        grid=(r_dim // rt,),
+        in_specs=[mat_spec(cwb), mat_spec(swb), mat_spec(cws), mat_spec(sws),
+                  blk(mh), blk(mh), blk(1), blk(1)],
+        out_specs=blk(n_out),
+        out_shape=jax.ShapeDtypeStruct((r_dim, n_out), jnp.float32),
+        interpret=_use_interpret(),
+    )(jnp.asarray(cwb), jnp.asarray(swb), jnp.asarray(cws), jnp.asarray(sws),
+      br, bi, sr, si)
 
 
 def _use_interpret() -> bool:

@@ -38,20 +38,29 @@ def measure_op_time(fn, example_arg, *, iters: int = 10, repeats: int = 2):
 
     :returns: best-of-``repeats`` seconds per call.
     """
+    import numpy as np
+
     stepped = jax.jit(
         lambda x: jax.lax.scan(lambda c, _: (fn(c), None), x, None,
                                length=iters)[0]
     )
+
+    def fetch(x):
+        # block_until_ready does not reliably block through a remote-TPU
+        # relay; a tiny device->host fetch of a leaf forces completion
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf.ravel()[:2])
+
     out = stepped(example_arg)
-    jax.block_until_ready(out)
+    fetch(out)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         # chain the output back in: re-running an executable on inputs it
-        # has already seen can be served from a cache by the remote-TPU
-        # relay, which would time as ~0
+        # has already seen can be served from a cache by the relay, which
+        # would time as ~0
         out = stepped(out)
-        jax.block_until_ready(out)
+        fetch(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

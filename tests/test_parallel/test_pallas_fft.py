@@ -85,7 +85,11 @@ def test_pallas_convolve_matches_reference_path():
     greens = jnp.asarray(
         rng.standard_normal((2 * n, 2 * n, n + 1)), jnp.float32
     )
-    out = _pallas_convolve_local(rhs, greens, (2 * n, 2 * n, 2 * n))
+    from sopht_mpi_tpu.ops.poisson import split_pallas_greens
+
+    out = _pallas_convolve_local(
+        rhs, split_pallas_greens(greens), (2 * n, 2 * n, 2 * n)
+    )
     ref = jnp.stack(
         [
             _truncated_irfftn_local(
@@ -113,7 +117,9 @@ def test_pallas_convolve_2d():
     n = 64
     rhs = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
     greens = jnp.asarray(rng.standard_normal((2 * n, n + 1)), jnp.float32)
-    out = _pallas_convolve_local(rhs, greens, (2 * n, 2 * n))
+    from sopht_mpi_tpu.ops.poisson import split_pallas_greens
+
+    out = _pallas_convolve_local(rhs, split_pallas_greens(greens), (2 * n, 2 * n))
     ref = _truncated_irfftn_local(
         _padded_rfftn_local(rhs, (2 * n, 2 * n)) * greens, (n, n)
     )
@@ -122,3 +128,29 @@ def test_pallas_convolve_2d():
         np.asarray(ref),
         atol=5e-6 * float(jnp.abs(ref).max()),
     )
+
+
+def test_rfft_split_and_merge_roundtrip():
+    """Nyquist-split r2c kernel + merging c2r kernel: split spectra agree
+    with np.fft.rfft and the roundtrip restores the input."""
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        irfft_pass_merge,
+        rfft_pass_padded_split,
+    )
+
+    rng = np.random.default_rng(6)
+    r_dim, n = 24, 64
+    m = 2 * n
+    x = rng.standard_normal((r_dim, n)).astype(np.float32)
+    br, bi, sr, si = rfft_pass_padded_split(jnp.asarray(x), m)
+    ref = np.fft.rfft(x, n=m, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(br) + 1j * np.asarray(bi), ref[:, : m // 2],
+        atol=2e-6 * np.abs(ref).max(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(sr) + 1j * np.asarray(si), ref[:, m // 2 :],
+        atol=2e-6 * np.abs(ref).max(),
+    )
+    y = irfft_pass_merge(br, bi, sr, si, m, n)
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-6 * np.abs(x).max())
