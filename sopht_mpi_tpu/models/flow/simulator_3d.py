@@ -294,13 +294,21 @@ def compute_flow_velocity_3d(
     if use_pallas:
         from sopht_mpi_tpu.ops.pallas_stencils_3d import curl_3d_pallas
 
+        # free-stream add folded into the curl kernel: saves one full
+        # read+write pass over the velocity field
         velocity = curl_3d_pallas(
-            stream_func, jnp.asarray(0.5 / dx, vorticity.dtype)
+            stream_func,
+            jnp.asarray(0.5 / dx, vorticity.dtype),
+            add_vector=(
+                jnp.asarray(free_stream_velocity, vorticity.dtype)
+                if with_free_stream
+                else None
+            ),
         )
     else:
         velocity = curl_3d(stream_func, jnp.asarray(0.5 / dx, vorticity.dtype))
-    if with_free_stream:
-        velocity = add_fixed_val(velocity, free_stream_velocity)
+        if with_free_stream:
+            velocity = add_fixed_val(velocity, free_stream_velocity)
     return vorticity, velocity
 
 

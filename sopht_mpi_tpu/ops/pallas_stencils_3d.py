@@ -136,21 +136,34 @@ def _curl_planes(q_zm, q_c, q_zp, prefac):
     return prefac * mask * jnp.stack([curl_x, curl_y, curl_z])
 
 
-def _curl_kernel(prefac_ref, f_zm, f_c, f_zp, out_ref):
+def _curl_kernel(prefac_ref, add_ref, f_zm, f_c, f_zp, out_ref):
     i = pl.program_id(0)
     nz = pl.num_programs(0)
     p = prefac_ref[0, 0]
     curl = _curl_planes(f_zm[:, 0], f_c[:, 0], f_zp[:, 0], p)
     on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
-    out_ref[:, 0] = jnp.where(on_z_wall, 0.0, 1.0) * curl
+    out_ref[:, 0] = (
+        jnp.where(on_z_wall, 0.0, 1.0) * curl + add_ref[...][:, :, None]
+    )
 
 
-def curl_3d_pallas(field, prefactor, *, interpret=False):
-    """Pallas version of ``curl_3d`` (exact parity incl. zeroed ring)."""
+def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False):
+    """Pallas version of ``curl_3d`` (exact parity incl. zeroed ring).
+
+    ``add_vector`` (3,) is an optional per-component constant added to every
+    cell of the result - folding the free-stream update
+    (flow_simulators_mpi_3d.py velocity += U_inf) into this pass saves a
+    full read+write of the velocity field."""
     _, nz, ny, nx = field.shape
     if not _plane_fits(field.shape, 3):
-        return _jnp_ops.curl_3d(field, prefactor)
+        out = _jnp_ops.curl_3d(field, prefactor)
+        if add_vector is not None:
+            out = out + add_vector[:, None, None, None]
+        return out
     prefac = jnp.asarray(prefactor, field.dtype).reshape(1, 1)
+    if add_vector is None:
+        add_vector = jnp.zeros(3, field.dtype)
+    add = jnp.asarray(add_vector, field.dtype).reshape(3, 1)
     plane = lambda off: pl.BlockSpec(
         (3, 1, ny, nx),
         lambda i: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
@@ -161,6 +174,7 @@ def curl_3d_pallas(field, prefactor, *, interpret=False):
         grid=(nz,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             plane(-1),
             plane(0),
             plane(+1),
@@ -170,7 +184,7 @@ def curl_3d_pallas(field, prefactor, *, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct(field.shape, field.dtype),
         interpret=interpret,
-    )(prefac, field, field, field)
+    )(prefac, add, field, field, field)
 
 
 def _rotational_kernel(prefac_ref, w_zm, w_c, w_zp, u_zm, u_c, u_zp, out_ref):

@@ -191,22 +191,39 @@ def _device_greens_build(flag: bool | None, doubled_elems: int) -> bool:
     return doubled_elems >= 2**24 and jax.default_backend() == "tpu"
 
 
-def _greens_on_device(axis_dists, compute_greens, regularized_origin, dtype):
-    """Assemble the even-reflected Green's function ON DEVICE from tiny
-    per-axis distance vectors. The host path uploads the full (2N)^dim real
-    kernel through the host->TPU link (4.3 GB at 512^3 over this
-    environment's tunnel); here only O(N) bytes ever leave the host."""
-    @jax.jit
-    def build(*dists):
-        nd = len(dists)
-        sq = sum(
-            d.reshape((-1,) + (1,) * (nd - 1 - i)) ** 2
-            for i, d in enumerate(dists)
-        )
-        g = compute_greens(jnp.sqrt(sq))
-        return g.at[(0,) * nd].set(regularized_origin).astype(dtype)
+def _build_greens_kernel(axis_dists, compute_greens, regularized_origin,
+                         dtype, *, on_device: bool):
+    """Assemble the real-space Green's function from per-axis distance
+    vectors. ``compute_greens(xp, r)`` maps distances to kernel values with
+    the array module ``xp``.
 
-    return build(*[jnp.asarray(d, dtype=dtype) for d in axis_dists])
+    - on_device: built under jit from tiny O(N) vectors - only O(N) bytes
+      leave the host (the host path uploads the full kernel through the
+      host->TPU link: 4.3 GB at doubled 512^3 over this environment's
+      tunnel).
+    - host: float64 numpy build (the reference's precision) for small/test
+      grids.
+    """
+    nd = len(axis_dists)
+    if on_device:
+        @jax.jit
+        def build(*dists):
+            sq = sum(
+                d.reshape((-1,) + (1,) * (nd - 1 - i)) ** 2
+                for i, d in enumerate(dists)
+            )
+            g = compute_greens(jnp, jnp.sqrt(sq))
+            return g.at[(0,) * nd].set(regularized_origin).astype(dtype)
+
+        return build(*[jnp.asarray(d, dtype=dtype) for d in axis_dists])
+    sq = sum(
+        np.asarray(d, np.float64).reshape((-1,) + (1,) * (nd - 1 - i)) ** 2
+        for i, d in enumerate(axis_dists)
+    )
+    with np.errstate(divide="ignore"):
+        g = compute_greens(np, np.sqrt(sq))
+    g[(0,) * nd] = regularized_origin
+    return g.astype(dtype)
 
 
 class UnboundedPoissonSolver2D:
@@ -237,19 +254,25 @@ class UnboundedPoissonSolver2D:
             2 * grid_size_x, self.dx, self.x_range, np.float64
         )
         origin = -(2.0 * np.log(self.dx / np.sqrt(np.pi)) - 1.0) / (4.0 * np.pi)
-        if _device_greens_build(build_greens_on_device, 4 * grid_size_y
-                                * grid_size_x):
-            greens = _greens_on_device(
-                (dy, dxs), lambda r: -jnp.log(r) / (2.0 * np.pi), origin,
-                np.dtype(real_t),
+        compute = lambda xp, r: -xp.log(r) / (2.0 * np.pi)
+        if mesh is None or mesh.size == 1:
+            # single-device: half-grid kernel + symmetric-DFT spectrum
+            half = _build_greens_kernel(
+                (dy[: grid_size_y + 1], dxs[: grid_size_x + 1]),
+                compute, origin, np.dtype(real_t),
+                on_device=_device_greens_build(
+                    build_greens_on_device, 4 * grid_size_y * grid_size_x
+                ),
             )
+            self._init_fourier_greens_from_half(half)
         else:
-            r = np.sqrt(dy[:, None] ** 2 + dxs[None, :] ** 2)
-            with np.errstate(divide="ignore"):
-                greens = -np.log(r) / (2.0 * np.pi)
-            greens[0, 0] = origin
-            greens = greens.astype(np.dtype(real_t))
-        self._init_fourier_greens(greens)
+            greens = _build_greens_kernel(
+                (dy, dxs), compute, origin, np.dtype(real_t),
+                on_device=_device_greens_build(
+                    build_greens_on_device, 4 * grid_size_y * grid_size_x
+                ),
+            )
+            self._init_fourier_greens(np.asarray(greens))
 
     def _init_fourier_greens(self, greens: np.ndarray):
         """Forward-transform the (real-spectrum) Green's function once,
@@ -266,6 +289,59 @@ class UnboundedPoissonSolver2D:
         if (self.mesh is None or self.mesh.size == 1) and (
             _pallas_convolve_supported(doubled, self.real_t)
         ):
+            self.fourier_greens_times_dx_pow_dim = split_pallas_greens(dense)
+        else:
+            self.fourier_greens_times_dx_pow_dim = dense
+
+    def _init_fourier_greens_from_half(self, greens_half):
+        """Fourier Green's function from the HALF-grid kernel via per-axis
+        symmetric DFT (DCT-I) matmuls, exploiting the even reflection:
+        g[n] = g[2N - n] per axis, so
+
+            Ghat[k] = g[0] + (-1)^k g[N] + 2 sum_{n=1}^{N-1} g[n] cos(pi n k / N)
+
+        with Ghat[k] = Ghat[2N - k] real-even. The doubled-domain kernel
+        never materializes and no (2N)^dim FFT runs - at 512^3 the XLA
+        rfftn of the 1024^3 kernel needs > 16 GB HBM (compile-time OOM)
+        while this path peaks below 3 GB. ``greens_half`` has N+1 points
+        per axis (distances never reflect there).
+        """
+        dtype = greens_half.dtype
+        h = jnp.asarray(greens_half)
+        nd = h.ndim
+
+        @jax.jit
+        def build(h):
+            # per-axis symmetric DFT: contract axis `ax` (size N+1) against
+            # M[n, k] = w_n cos(pi n k / N), w = (1, 2, ..., 2, 1); output
+            # k in [0, N] (the even-symmetric half)
+            for ax in range(nd):
+                n_half = h.shape[ax]  # N + 1
+                n = jnp.arange(n_half, dtype=dtype)[:, None]
+                k = jnp.arange(n_half, dtype=dtype)[None, :]
+                mat = jnp.cos(jnp.pi * n * k / (n_half - 1))
+                w = jnp.full((n_half, 1), 2.0, dtype)
+                w = w.at[0].set(1.0).at[-1].set(1.0)
+                h = jnp.moveaxis(
+                    jnp.tensordot(
+                        jnp.moveaxis(h, ax, -1), w * mat, axes=1,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ),
+                    -1, ax,
+                )
+            # expand even-symmetric halves to the full doubled spectrum on
+            # every axis but the last (kept at fx = N+1 by rfft symmetry)
+            for ax in range(nd - 1):
+                head = h
+                tail = jnp.flip(
+                    jax.lax.slice_in_dim(h, 1, h.shape[ax] - 1, axis=ax), ax
+                )
+                h = jnp.concatenate([head, tail], axis=ax)
+            return h * (self.dx**self.grid_dim)
+
+        dense = build(h)
+        doubled = tuple(2 * (s - 1) for s in greens_half.shape)
+        if _pallas_convolve_supported(doubled, dtype):
             self.fourier_greens_times_dx_pow_dim = split_pallas_greens(dense)
         else:
             self.fourier_greens_times_dx_pow_dim = dense
@@ -341,24 +417,32 @@ class UnboundedPoissonSolver3D:
             2 * grid_size_x, self.dx, self.x_range, np.float64
         )
         origin = 1.0 / (4.0 * np.pi * self.dx)
-        if _device_greens_build(build_greens_on_device, 8 * grid_size_z
-                                * grid_size_y * grid_size_x):
-            greens = _greens_on_device(
-                (dz, dy, dxs), lambda r: 1.0 / (4.0 * np.pi * r), origin,
-                np.dtype(real_t),
+        compute = lambda xp, r: 1.0 / (4.0 * np.pi * r)
+        on_device = _device_greens_build(
+            build_greens_on_device,
+            8 * grid_size_z * grid_size_y * grid_size_x,
+        )
+        if mesh is None or mesh.size == 1:
+            # single-device: half-grid kernel + symmetric-DFT spectrum
+            half = _build_greens_kernel(
+                (dz[: grid_size_z + 1], dy[: grid_size_y + 1],
+                 dxs[: grid_size_x + 1]),
+                compute, origin, np.dtype(real_t), on_device=on_device,
             )
+            self._init_fourier_greens_from_half(half)
         else:
-            r = np.sqrt(
-                dz[:, None, None] ** 2 + dy[None, :, None] ** 2
-                + dxs[None, None, :] ** 2
+            greens = _build_greens_kernel(
+                (dz, dy, dxs), compute, origin, np.dtype(real_t),
+                on_device=on_device,
             )
-            with np.errstate(divide="ignore"):
-                greens = 1.0 / (4.0 * np.pi * r)
-            greens[0, 0, 0] = origin
-            greens = greens.astype(np.dtype(real_t))
-        UnboundedPoissonSolver2D._init_fourier_greens(self, greens)
+            UnboundedPoissonSolver2D._init_fourier_greens(
+                self, np.asarray(greens)
+            )
 
     _dense_greens = UnboundedPoissonSolver2D._dense_greens
+    _init_fourier_greens_from_half = (
+        UnboundedPoissonSolver2D._init_fourier_greens_from_half
+    )
 
     def solve(self, rhs_field, greens=None):
         """Solve ``-del^2(solution) = rhs`` (shape (nz, ny, nx)).
@@ -395,6 +479,14 @@ class UnboundedPoissonSolver3D:
             if _pallas_convolve_supported(doubled, rhs_vector_field.dtype):
                 if not isinstance(greens, tuple):
                     greens = split_pallas_greens(greens)
+                if nz * ny * nx >= 2**27:
+                    # 512^3-class: the 3-component spectral transient
+                    # (~19 GB) exceeds HBM; run components sequentially
+                    # (~6.4 GB peak each)
+                    return jax.lax.map(
+                        lambda f: _pallas_convolve_local(f, greens, doubled),
+                        rhs_vector_field,
+                    )
                 # components fold into the Pallas kernels' batch dimension
                 return _pallas_convolve_local(rhs_vector_field, greens, doubled)
             return jax.vmap(lambda f: self.solve(f, greens))(rhs_vector_field)

@@ -67,3 +67,15 @@ def test_pallas_fallback_for_oversized_planes(fields):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
     finally:
         m._VMEM_BYTES_CAP = cap
+
+
+def test_pallas_curl_with_free_stream_add(fields):
+    """add_vector folds the free-stream update into the curl pass."""
+    from sopht_mpi_tpu.ops.elementwise import add_fixed_val
+
+    w, _ = fields
+    a = jnp.float64(0.25)
+    fsv = jnp.asarray([1.0, -0.5, 0.25], jnp.float64)
+    ref = add_fixed_val(curl_3d(w, a), fsv)
+    out = curl_3d_pallas(w, a, add_vector=fsv, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
