@@ -40,11 +40,11 @@ def main():
     fsi_step, (carry,) = _build_fsi_case(grid_size=(GRID, GRID, GRID))
 
     # warmup / compile
-    carry, _ = scan_steps(fsi_step, carry, STEPS)
+    carry, _ = scan_steps(fsi_step, carry, STEPS, donate=True)
     jax.block_until_ready(carry)
 
     t0 = time.perf_counter()
-    carry, lag_forces = scan_steps(fsi_step, carry, STEPS)
+    carry, lag_forces = scan_steps(fsi_step, carry, STEPS, donate=True)
     jax.block_until_ready(carry)
     t1 = time.perf_counter()
 

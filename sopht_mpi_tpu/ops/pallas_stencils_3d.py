@@ -142,9 +142,10 @@ def _curl_kernel(prefac_ref, add_ref, f_zm, f_c, f_zp, out_ref):
     p = prefac_ref[0, 0]
     curl = _curl_planes(f_zm[:, 0], f_c[:, 0], f_zp[:, 0], p)
     on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
-    out_ref[:, 0] = (
-        jnp.where(on_z_wall, 0.0, 1.0) * curl + add_ref[...][:, :, None]
-    )
+    # SMEM permits only scalar loads; add each component's scalar directly
+    w = jnp.where(on_z_wall, 0.0, 1.0)
+    for c in range(3):
+        out_ref[c, 0] = w * curl[c] + add_ref[c, 0]
 
 
 def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False):

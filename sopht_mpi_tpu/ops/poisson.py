@@ -81,6 +81,7 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
     ``greens`` is the (bulk, side) pair from :func:`split_pallas_greens`.
     """
     from sopht_mpi_tpu.parallel.pallas_fft import (
+        fft_greens_ifft_pass,
         fft_pass_padded,
         ifft_pass_truncated,
         irfft_pass_merge,
@@ -102,9 +103,8 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         fr, fi, sr, si = rfft_pass_padded_split(rhs.reshape(c * ny, nx), mx)
         fr = fr.reshape(c, ny, bx)
         fi = fi.reshape(c, ny, bx)
-        # bulk y pass: (c, ny, bx) -> (c, my, bx)
-        fr, fi = fft_pass_padded(fr, fi, my)
-        fr, fi = ifft_pass_truncated(fr, fi, g_bulk[None])
+        # bulk y pass, greens folded: (c, ny, bx) -> (c, ny, bx)
+        fr, fi = fft_greens_ifft_pass(fr, fi, g_bulk[None])
         # Nyquist column side path (c, ny) complex
         s = jax.lax.complex(sr, si).reshape(c, ny)
         s = jnp.fft.fft(s, n=my, axis=1) * g_side[None, :]
@@ -124,14 +124,13 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         fr = fr.reshape(c * nz, ny, bx)
         fi = fi.reshape(c * nz, ny, bx)
         fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, bx)
-        # bulk z pass: view (c, nz, my*bx). (A single kernel fusing
-        # z-forward + greens + z-inverse was tried and measured 2.5x
-        # SLOWER: the combined VMEM working set forces tiny batch tiles and
-        # the long serial per-slice chain defeats Mosaic's pipelining.)
+        # bulk z pass with greens folded into one fused kernel: the
+        # (c, mz, my*bx) doubled spectrum never hits HBM - this is what
+        # makes the 512^3 vector solve fit on one chip, and it measures
+        # wall-time-neutral vs separate fwd/inv passes
         fr = fr.reshape(c, nz, my * bx)
         fi = fi.reshape(c, nz, my * bx)
-        fr, fi = fft_pass_padded(fr, fi, mz)  # (c, mz, my*bx)
-        fr, fi = ifft_pass_truncated(
+        fr, fi = fft_greens_ifft_pass(
             fr, fi, g_bulk.reshape(1, mz, my * bx)
         )  # (c, nz, my*bx)
         fr = fr.reshape(c * nz, my, bx)

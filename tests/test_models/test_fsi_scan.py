@@ -355,3 +355,20 @@ def test_rod_fsi_scan_dynamic_substeps_match_host_loop():
         np.asarray(carry.vb_state.position_mismatch), host_mismatch,
         atol=1e-13,
     )
+
+
+def test_scan_steps_donate_matches():
+    """donate=True (buffer-reusing) scan gives identical results."""
+    flow_sim, interactor = _cylinder_case()
+    step = build_rigid_fsi_step(flow_sim, interactor, dt_prefac=0.5)
+    c0 = init_rigid_fsi_carry(flow_sim, interactor)
+    ref, _ = scan_steps(step, c0, 3)
+
+    flow_sim2, interactor2 = _cylinder_case()
+    step2 = build_rigid_fsi_step(flow_sim2, interactor2, dt_prefac=0.5)
+    c1 = init_rigid_fsi_carry(flow_sim2, interactor2)
+    out, _ = scan_steps(step2, c1, 3, donate=True)
+    np.testing.assert_array_equal(
+        np.asarray(out.flow_state.primary_scalar_field),
+        np.asarray(ref.flow_state.primary_scalar_field),
+    )
