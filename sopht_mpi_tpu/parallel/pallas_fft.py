@@ -81,28 +81,58 @@ def _cmm(mr, mi, xr, xi):
     return _mm(mr, xr) - _mm(mi, xi), _mm(mr, xi) + _mm(mi, xr)
 
 
-def _fwd_kernel(m, m1, m2, w2r_ref, w2i_ref, ar_ref, ai_ref,
-                xr_ref, xi_ref, or_ref, oi_ref):
+def _pack(r, i):
+    """Real block form of a complex matrix: (W)(x) as
+    [[Wr, -Wi], [Wi, Wr]] @ [xr; xi]. ONE double-size MXU matmul replaces
+    the 4 small ones of _cmm - measured 1.5x faster on the fused conv pass
+    (the per-slice matrices are tiny, so op count dominates)."""
+    return np.block([[r, -i], [i, r]]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_fwd_mats(m: int):
+    """P1 (2m2, m2): packed half-input W2. PA (m2, 2m1, 2m1): packed
+    per-k2 twiddled W1."""
+    (w2r, w2i), (ar, ai) = _fwd_mats(m)
+    m1, m2 = _best_factors(m)
+    p1 = _pack(w2r, w2i)
+    pa = np.stack([_pack(ar[c], ai[c]) for c in range(m2)])
+    return p1, pa
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_inv_mats(m: int):
+    """PA (m2, 2m1, 2m1): packed per-k2 inverse step-1. P2 (m2, 2m2):
+    packed half-output W2 inverse (1/m folded in)."""
+    (ar, ai), (w2r, w2i) = _inv_mats(m)
+    m1, m2 = _best_factors(m)
+    pa = np.stack([_pack(ar[c], ai[c]) for c in range(m2)])
+    p2 = _pack(w2r, w2i)
+    return pa, p2
+
+
+def _cat(a, b):
+    return jnp.concatenate([a, b], axis=0)
+
+
+def _fwd_kernel(m, m1, m2, p1_ref, pa_ref, xr_ref, xi_ref, or_ref, oi_ref):
     """Input blocks are pre-split 4D (1, m2/2, m1, bt); contractions run as
-    per-slice 2D matmuls (Mosaic does not support sublane-splitting shape
-    casts inside kernels)."""
+    per-slice packed-complex 2D matmuls (Mosaic does not support
+    sublane-splitting shape casts inside kernels)."""
     bt = xr_ref.shape[3]
-    w2r, w2i = w2r_ref[...], w2i_ref[...]
-    # step 1 (contract n2; one 2D matmul per n1 slice) -> y (n1, k2, bt)
-    yr = jnp.stack(
-        [_mm(w2r, xr_ref[0, :, j, :]) - _mm(w2i, xi_ref[0, :, j, :])
+    p1 = p1_ref[...]
+    # step 1 (contract n2; one packed matmul per n1 slice)
+    # y (n1, 2m2, bt): rows [0:m2] = re over k2, [m2:] = im
+    y = jnp.stack(
+        [_mm(p1, _cat(xr_ref[0, :, j, :], xi_ref[0, :, j, :]))
          for j in range(m1)]
     )
-    yi = jnp.stack(
-        [_mm(w2r, xi_ref[0, :, j, :]) + _mm(w2i, xr_ref[0, :, j, :])
-         for j in range(m1)]
-    )
-    # step 2 (contract n1; one 2D matmul per k2 slice) -> z (k1, k2, bt)
+    # step 2 (contract n1; one packed matmul per k2 slice) -> z (k1, bt)
     zr_sl, zi_sl = [], []
     for c in range(m2):
-        r, i = _cmm(ar_ref[c], ai_ref[c], yr[:, c, :], yi[:, c, :])
-        zr_sl.append(r)
-        zi_sl.append(i)
+        z = _mm(pa_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]))  # (2m1, bt)
+        zr_sl.append(z[:m1])
+        zi_sl.append(z[m1:])
     # k = m2*k1 + k2: stack k2 inside k1 then merge (a no-op view)
     or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m, bt)
     oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m, bt)
@@ -112,15 +142,12 @@ def _inv_kernel(m, m1, m2, with_greens, *refs):
     """Input blocks pre-split 4D (1, m1=k1, m2=k2, bt); optional greens
     block with the same view multiplies on load."""
     if with_greens:
-        ar_ref, ai_ref, w2r_ref, w2i_ref, g_ref, xr_ref, xi_ref, \
-            or_ref, oi_ref = refs
+        pa_ref, p2_ref, g_ref, xr_ref, xi_ref, or_ref, oi_ref = refs
     else:
-        ar_ref, ai_ref, w2r_ref, w2i_ref, xr_ref, xi_ref, \
-            or_ref, oi_ref = refs
+        pa_ref, p2_ref, xr_ref, xi_ref, or_ref, oi_ref = refs
     bt = xr_ref.shape[3]
-    w2r, w2i = w2r_ref[...], w2i_ref[...]
-    # step 1 (contract k1; one 2D matmul per k2 slice) -> y (n1, k2, bt)
-    yr_sl, yi_sl = [], []
+    # step 1 (contract k1; one packed matmul per k2 slice)
+    y_sl = []
     for c in range(m2):
         xr_c = xr_ref[0, :, c, :]  # (k1, bt)
         xi_c = xi_ref[0, :, c, :]
@@ -128,17 +155,15 @@ def _inv_kernel(m, m1, m2, with_greens, *refs):
             g_c = g_ref[0, :, c, :]
             xr_c = xr_c * g_c
             xi_c = xi_c * g_c
-        r, i = _cmm(ar_ref[c], ai_ref[c], xr_c, xi_c)  # (n1, bt)
-        yr_sl.append(r)
-        yi_sl.append(i)
-    yr = jnp.stack(yr_sl, axis=1)  # (n1, k2, bt)
-    yi = jnp.stack(yi_sl, axis=1)
-    # step 2 (contract k2; one 2D matmul per n1 slice) -> z (n2, n1, bt)
+        y_sl.append(_mm(pa_ref[c], _cat(xr_c, xi_c)))  # (2m1, bt)
+    y = jnp.stack(y_sl)  # (k2, 2m1, bt): [:, :m1] = re over n1, [:, m1:] = im
+    # step 2 (contract k2; one packed matmul per n1 slice) -> (2*(m2/2), bt)
+    p2 = p2_ref[...]
     zr_sl, zi_sl = [], []
     for j in range(m1):
-        r, i = _cmm(w2r, w2i, yr[j], yi[j])  # (n2, bt)
-        zr_sl.append(r)
-        zi_sl.append(i)
+        o = _mm(p2, _cat(y[:, j, :], y[:, m1 + j, :]))  # (m2, bt)
+        zr_sl.append(o[: m2 // 2])
+        zi_sl.append(o[m2 // 2:])
     # n = n1 + m1*n2: stack n1 inside n2 then merge (a no-op view)
     or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
     oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
@@ -176,7 +201,7 @@ def fft_pass_padded(xr, xi, axis_len_out: int):
     bt = _pick_btile(b, _pass_budget(m))
     assert bt is not None, (b, m)
     kern = functools.partial(_fwd_kernel, m, m1, m2)
-    (w2r, w2i), (ar, ai) = _fwd_mats(m)
+    p1, pa = _packed_fwd_mats(m)
     mat_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -194,13 +219,11 @@ def fft_pass_padded(xr, xi, axis_len_out: int):
     return pl.pallas_call(
         kern,
         grid=(a_dim, b // bt),
-        in_specs=[mat_spec(w2r), mat_spec(w2i), mat_spec(ar), mat_spec(ai),
-                  in_spec, in_spec],
+        in_specs=[mat_spec(p1), mat_spec(pa), in_spec, in_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((a_dim, m, b), jnp.float32)] * 2,
         interpret=_use_interpret(),
-    )(jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(ar), jnp.asarray(ai),
-      xr4, xi4)
+    )(jnp.asarray(p1), jnp.asarray(pa), xr4, xi4)
 
 
 def ifft_pass_truncated(xr, xi, greens=None):
@@ -214,7 +237,7 @@ def ifft_pass_truncated(xr, xi, greens=None):
     bt = _pick_btile(b, _pass_budget(m))
     assert bt is not None, (b, m)
     kern = functools.partial(_inv_kernel, m, m1, m2, greens is not None)
-    (ar, ai), (w2r, w2i) = _inv_mats(m)
+    pa, p2 = _packed_inv_mats(m)
     mat_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -226,8 +249,7 @@ def ifft_pass_truncated(xr, xi, greens=None):
     out_spec = pl.BlockSpec(
         (1, m // 2, bt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
-    mats = [jnp.asarray(ar), jnp.asarray(ai), jnp.asarray(w2r),
-            jnp.asarray(w2i)]
+    mats = [jnp.asarray(pa), jnp.asarray(p2)]
     if greens is None:
         data = [split(xr), split(xi)]
         data_specs = [in_spec, in_spec]
@@ -251,45 +273,36 @@ def ifft_pass_truncated(xr, xi, greens=None):
     )(*mats, *data)
 
 
-def _conv_kernel(m, m1, m2, w2r_f, w2i_f, ar_f, ai_f,
-                 ar_i, ai_i, w2r_i, w2i_i, g_ref,
+def _conv_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, g_ref,
                  xr_ref, xi_ref, or_ref, oi_ref):
     """Fused padded-forward -> greens multiply -> truncated-inverse along
     the middle axis, never materializing the doubled spectrum: the full
     length-m column exists only as per-k2 VMEM slices."""
-    w2rf, w2if = w2r_f[...], w2i_f[...]
-    # forward step 1 (contract n2) -> y (n1, k2, bt)
-    yr = jnp.stack(
-        [_mm(w2rf, xr_ref[0, :, j, :]) - _mm(w2if, xi_ref[0, :, j, :])
-         for j in range(m1)]
-    )
-    yi = jnp.stack(
-        [_mm(w2rf, xi_ref[0, :, j, :]) + _mm(w2if, xr_ref[0, :, j, :])
+    bt = xr_ref.shape[3]
+    p1 = p1_ref[...]
+    # forward step 1 (contract n2) -> y (n1, 2m2, bt)
+    y = jnp.stack(
+        [_mm(p1, _cat(xr_ref[0, :, j, :], xi_ref[0, :, j, :]))
          for j in range(m1)]
     )
     # forward step 2 (contract n1) + greens + inverse step 1 (contract k1),
     # per k2 slice
-    y2r_sl, y2i_sl = [], []
+    y2_sl = []
     for c in range(m2):
-        zr, zi = _cmm(ar_f[c], ai_f[c], yr[:, c, :], yi[:, c, :])  # (k1, bt)
+        z = _mm(paf_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]))  # (2m1, bt)
         g_c = g_ref[0, :, c, :]
-        zr = zr * g_c
-        zi = zi * g_c
-        r, i = _cmm(ar_i[c], ai_i[c], zr, zi)  # (n1, bt)
-        y2r_sl.append(r)
-        y2i_sl.append(i)
-    y2r = jnp.stack(y2r_sl, axis=1)  # (n1, k2, bt)
-    y2i = jnp.stack(y2i_sl, axis=1)
+        z = z * _cat(g_c, g_c)
+        y2_sl.append(_mm(pai_ref[c], z))  # (2m1, bt)
+    y2 = jnp.stack(y2_sl)  # (k2, 2m1, bt)
     # inverse step 2 (contract k2, keep n2 < m2/2)
-    w2ri, w2ii = w2r_i[...], w2i_i[...]
+    p2 = p2_ref[...]
     zr_sl, zi_sl = [], []
     for j in range(m1):
-        r, i = _cmm(w2ri, w2ii, y2r[j], y2i[j])  # (n2, bt)
-        zr_sl.append(r)
-        zi_sl.append(i)
-    m_full = m1 * m2
-    or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m_full // 2, xr_ref.shape[3])
-    oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m_full // 2, xr_ref.shape[3])
+        o = _mm(p2, _cat(y2[:, j, :], y2[:, m1 + j, :]))  # (m2, bt)
+        zr_sl.append(o[: m2 // 2])
+        zi_sl.append(o[m2 // 2:])
+    or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
+    oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
 
 
 def fft_greens_ifft_pass(xr, xi, greens):
@@ -303,10 +316,14 @@ def fft_greens_ifft_pass(xr, xi, greens):
     a_dim, l_in, b = xr.shape
     m = 2 * l_in
     m1, m2 = _best_factors(m)
-    bt = _pick_btile(b, max(128, (1024 * 1024) // (4 * m)))
+    # Empirical VMEM fit for the fused kernel's working set (inputs +
+    # greens + two stacked intermediates + outputs, double-buffered):
+    # bt=512 at m=512 measures fastest; m=1024 needs bt=128 (256 overflows
+    # scoped vmem by ~1 MB).
+    bt = _pick_btile(b, 512 if m <= 512 else 128)
     assert bt is not None, (b, m)
-    (w2r_f, w2i_f), (ar_f, ai_f) = _fwd_mats(m)
-    (ar_i, ai_i), (w2r_i, w2i_i) = _inv_mats(m)
+    p1, paf = _packed_fwd_mats(m)
+    pai, p2 = _packed_inv_mats(m)
     kern = functools.partial(_conv_kernel, m, m1, m2)
     mat_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
@@ -321,7 +338,7 @@ def fft_greens_ifft_pass(xr, xi, greens):
     out_spec = pl.BlockSpec(
         (1, l_in, bt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
-    mats = [w2r_f, w2i_f, ar_f, ai_f, ar_i, ai_i, w2r_i, w2i_i]
+    mats = [p1, paf, pai, p2]
     return pl.pallas_call(
         kern,
         grid=(a_dim, b // bt),
