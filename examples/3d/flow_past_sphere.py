@@ -235,7 +235,7 @@ def flow_past_sphere_fused_case(
     t_end = nondim_time * timescale
     times, drag_coeffs = [], []
     while float(carry.time) < t_end:
-        carry, lag_forces = scan_steps(step, carry, window)
+        carry, lag_forces = scan_steps(step, carry, window, donate=True)
         jax.block_until_ready(carry)
         cd = float(np.abs(np.asarray(lag_forces[-1, 0]))) / drag_scale
         times.append(float(carry.time) / timescale)

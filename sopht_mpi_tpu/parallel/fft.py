@@ -144,23 +144,77 @@ def _convolve2_local(field, greens, *, py: int, ny: int, nx: int, fxp: int):
     return jax.lax.slice_in_dim(out, 0, nx, axis=1)
 
 
-def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
-                     nx: int, fxp: int):
-    from sopht_mpi_tpu.parallel.mxu_fft import fft_padded, ifft_truncated
+def _pallas_mid_passes_ok(m: int, b: int) -> bool:
+    """Whether the per-shard Pallas kernels can serve a middle-axis pass of
+    doubled length ``m`` over lane batch ``b``."""
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        pallas_fft_supported,
+        pass_tile_ok,
+    )
 
+    return pallas_fft_supported(m) and pass_tile_ok(b, m)
+
+
+def _split_reim(f):
+    return (jnp.real(f).astype(jnp.float32), jnp.imag(f).astype(jnp.float32))
+
+
+def _fwd_y_local(f, my: int, use_pallas: bool):
+    """Per-shard padded forward pass along axis 1 of a complex 3D shard:
+    Pallas split-spectrum kernel on TPU shards, MXU einsum elsewhere."""
+    if not use_pallas:
+        from sopht_mpi_tpu.parallel.mxu_fft import fft_padded
+
+        return fft_padded(f, 1, my)
+    from sopht_mpi_tpu.parallel.pallas_fft import fft_pass_padded
+
+    rr, ii = fft_pass_padded(*_split_reim(f), my)
+    return jax.lax.complex(rr, ii)
+
+
+def _inv_y_local(f, ny: int, use_pallas: bool):
+    if not use_pallas:
+        from sopht_mpi_tpu.parallel.mxu_fft import ifft_truncated
+
+        return ifft_truncated(f, 1, ny)
+    from sopht_mpi_tpu.parallel.pallas_fft import ifft_pass_truncated
+
+    rr, ii = ifft_pass_truncated(*_split_reim(f))
+    return jax.lax.complex(rr, ii)
+
+
+def _conv_z_local(f, greens, nz: int, use_pallas: bool):
+    """Per-shard fused padded-forward * greens -> truncated-inverse along
+    axis 0, via the (1, L, rest) view; einsum passes off-TPU."""
+    if not use_pallas:
+        from sopht_mpi_tpu.parallel.mxu_fft import fft_padded, ifft_truncated
+
+        return ifft_truncated(fft_padded(f, 0, 2 * nz) * greens, 0, nz)
+    from sopht_mpi_tpu.parallel.pallas_fft import fft_greens_ifft_pass
+
+    shp = f.shape
+    fr, fi = _split_reim(f.reshape(1, shp[0], -1))
+    g = greens.astype(jnp.float32).reshape(1, greens.shape[0], -1)
+    rr, ii = fft_greens_ifft_pass(fr, fi, g)
+    return jax.lax.complex(rr, ii).reshape(nz, *shp[1:])
+
+
+def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
+                     nx: int, fxp: int, pallas_y: bool = False,
+                     pallas_z: bool = False):
     f = jnp.fft.rfft(field, n=2 * nx, axis=2)  # (nz/pz, ny/py, nx+1)
     f = jnp.pad(f, ((0, 0), (0, 0), (0, fxp - f.shape[2])))
     if py > 1:
         f = lax.all_to_all(f, "y", split_axis=2, concat_axis=1, tiled=True)
-    f = fft_padded(f, 1, 2 * ny)  # (nz/pz, 2ny, fxp/py)
+    f = _fwd_y_local(f, 2 * ny, pallas_y)  # (nz/pz, 2ny, fxp/py)
     if pz > 1:
         f = lax.all_to_all(f, "z", split_axis=1, concat_axis=0, tiled=True)
-    f = fft_padded(f, 0, 2 * nz)  # (2nz, 2ny/pz, fxp/py)
-    f = f * greens
-    f = ifft_truncated(f, 0, nz)  # (nz, 2ny/pz, fxp/py)
+    # fused z-forward * greens -> z-inverse on the shard: the doubled
+    # z-spectrum never hits shard HBM
+    f = _conv_z_local(f, greens, nz, pallas_z)  # (nz, 2ny/pz, fxp/py)
     if pz > 1:
         f = lax.all_to_all(f, "z", split_axis=0, concat_axis=1, tiled=True)
-    f = ifft_truncated(f, 1, ny)  # (nz/pz, ny, fxp/py)
+    f = _inv_y_local(f, ny, pallas_y)  # (nz/pz, ny, fxp/py)
     if py > 1:
         f = lax.all_to_all(f, "y", split_axis=1, concat_axis=2, tiled=True)
     f = f[:, :, : nx + 1]
@@ -168,12 +222,19 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
     return jax.lax.slice_in_dim(out, 0, nx, axis=2)
 
 
-def distributed_free_space_convolve(rhs, greens, mesh: Mesh):
+def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
+                                    force_pallas: bool | None = None):
     """Spectral free-space convolution of a sharded N-domain ``rhs`` with a
     real doubled-domain Fourier multiplier ``greens`` (layout
     ``fourier_partition_spec``, i.e. the output of ``distributed_rfftn`` on
     the even-reflected doubled kernel). Returns the N-domain solution with
-    the input's sharding. The doubled field never materializes."""
+    the input's sharding. The doubled field never materializes.
+
+    On TPU with float32, the per-shard y/z passes run the fused Pallas
+    kernels (the z greens pass as one fused kernel) when the shard shapes
+    admit valid tiles; elsewhere the MXU einsum four-step serves.
+    ``force_pallas`` overrides the auto policy (used by the interpret-mode
+    composition test)."""
     grid_dim = rhs.ndim
     fxp = padded_rfft_size(2 * rhs.shape[-1], mesh, grid_dim)
     if grid_dim == 2:
@@ -187,15 +248,29 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh):
         )
     else:
         nz, ny, nx = rhs.shape
+        pz, py = mesh.shape["z"], mesh.shape["y"]
+        on_tpu = (
+            jax.default_backend() == "tpu" and rhs.dtype == jnp.float32
+            if force_pallas is None
+            else force_pallas
+        )
+        pallas_y = on_tpu and _pallas_mid_passes_ok(2 * ny, fxp // py)
+        pallas_z = on_tpu and _pallas_mid_passes_ok(
+            2 * nz, (2 * ny // pz) * (fxp // py)
+        )
         fn = functools.partial(
-            _convolve3_local, pz=mesh.shape["z"], py=mesh.shape["y"],
+            _convolve3_local, pz=pz, py=py,
             nz=nz, ny=ny, nx=nx, fxp=fxp,
+            pallas_y=pallas_y, pallas_z=pallas_z,
         )
     return shard_map(
         fn,
         mesh=mesh,
         in_specs=(_grid_spec(grid_dim), fourier_partition_spec(grid_dim)),
         out_specs=_grid_spec(grid_dim),
+        # pallas_call inside the body cannot declare varying-mesh-axes
+        # metadata on its out_shape; the specs above pin the layouts
+        check_vma=False,
     )(rhs, greens)
 
 
