@@ -181,6 +181,12 @@ def _even_reflected_axis_dist(n_doubled: int, dx: float, axis_range: float, dtyp
     return np.minimum(x, 2.0 * axis_range - x).astype(dtype)
 
 
+# cells above which the vector solve maps components sequentially instead
+# of batching them into one pipeline (512^3-class: the 3-component
+# spectral transient ~19 GB exceeds HBM; sequential peaks ~6.4 GB each)
+_COMPONENT_MAP_THRESHOLD = 2**27
+
+
 def _device_greens_build(flag: bool | None, doubled_elems: int) -> bool:
     """Auto policy: build the Green's function on device for large grids
     (where the host upload dominates init time); keep the float64 host
@@ -478,7 +484,7 @@ class UnboundedPoissonSolver3D:
             if _pallas_convolve_supported(doubled, rhs_vector_field.dtype):
                 if not isinstance(greens, tuple):
                     greens = split_pallas_greens(greens)
-                if nz * ny * nx >= 2**27:
+                if nz * ny * nx >= _COMPONENT_MAP_THRESHOLD:
                     # 512^3-class: the 3-component spectral transient
                     # (~19 GB) exceeds HBM; run components sequentially
                     # (~6.4 GB peak each)

@@ -139,3 +139,21 @@ def test_poisson_sharded_matches_single_asymmetric_grid(mesh_shape):
     rhs_sharded = shard_scalar_field(jnp.asarray(rhs), mesh)
     out_multi = np.asarray(jax.jit(multi.solve)(rhs_sharded))
     np.testing.assert_allclose(out_multi, out_single, atol=1e-12)
+
+
+def test_vector_solve_component_map_matches_batched(monkeypatch):
+    """The sequential-component path used at 512^3-class sizes (HBM
+    pressure) equals the batched pipeline (interpret-mode kernels)."""
+    import sopht_mpi_tpu.ops.poisson as pois
+
+    n = 32
+    rng = np.random.default_rng(12)
+    rhs = jnp.asarray(rng.standard_normal((3, n, n, n)), jnp.float32)
+    solver = UnboundedPoissonSolver3D(n, n, n, real_t=jnp.float32)
+    monkeypatch.setattr(pois, "_pallas_convolve_supported",
+                        lambda doubled, dtype: True)
+    greens = pois.split_pallas_greens(solver._dense_greens())
+    batched = np.asarray(solver.vector_field_solve(rhs, greens))
+    monkeypatch.setattr(pois, "_COMPONENT_MAP_THRESHOLD", 1)
+    mapped = np.asarray(solver.vector_field_solve(rhs, greens))
+    np.testing.assert_allclose(mapped, batched, atol=1e-6)
