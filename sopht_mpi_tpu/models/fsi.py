@@ -185,6 +185,11 @@ def build_rod_fsi_step(
             "pass either rod_substeps (static) or both rod_dt and "
             "max_rod_substeps (dynamic)"
         )
+    if not dynamic and (rod_dt is not None or max_rod_substeps is not None):
+        raise ValueError(
+            "rod_substeps (static mode) conflicts with rod_dt/"
+            "max_rod_substeps (dynamic mode) - pass one or the other"
+        )
     assert rod_collection._finalized
     assert len(rod_collection._systems) == 1
     rod = rod_collection._systems[0]
@@ -212,10 +217,20 @@ def build_rod_fsi_step(
         real_t = flow_state.velocity_field.dtype
         if dynamic:
             # reference: int(flow_dt / min(flow_dt, rod_dt)), >= 1
-            n_sub = jnp.clip(
-                jnp.floor(dt / jnp.minimum(dt, rod_dt)).astype(jnp.int32),
-                1,
-                max_rod_substeps,
+            n_raw = jnp.floor(dt / jnp.minimum(dt, rod_dt)).astype(jnp.int32)
+            n_sub = jnp.clip(n_raw, 1, max_rod_substeps)
+            # the scan length is static, so a demand beyond max_rod_substeps
+            # must clamp - which makes sub_dt exceed rod_dt and can
+            # destabilize the rod; surface it loudly instead of silently
+            jax.lax.cond(
+                n_raw > max_rod_substeps,
+                lambda: jax.debug.print(
+                    "WARNING: rod substep demand {n} exceeds "
+                    "max_rod_substeps={m}; sub_dt now exceeds rod_dt - "
+                    "raise max_rod_substeps",
+                    n=n_raw, m=max_rod_substeps,
+                ),
+                lambda: None,
             )
             scan_length = max_rod_substeps
         else:

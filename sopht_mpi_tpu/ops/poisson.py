@@ -47,6 +47,7 @@ def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
     passes run on the BULK spectrum (mx/2 lanes, Nyquist split off), so
     power-of-two grids always tile cleanly."""
     from sopht_mpi_tpu.parallel.pallas_fft import (
+        conv_pass_tile_ok,
         pallas_fft_supported,
         pass_tile_ok,
     )
@@ -59,9 +60,10 @@ def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
         return False
     bulk = doubled[-1] // 2
     if len(doubled) == 2:
-        return pass_tile_ok(bulk, doubled[0])
+        # the 2D y pass runs the fused greens kernel (stricter budget)
+        return conv_pass_tile_ok(bulk, doubled[0])
     mz, my = doubled[0], doubled[1]
-    return pass_tile_ok(bulk, my) and pass_tile_ok(my * bulk, mz)
+    return pass_tile_ok(bulk, my) and conv_pass_tile_ok(my * bulk, mz)
 
 
 def split_pallas_greens(greens):
@@ -271,13 +273,13 @@ class UnboundedPoissonSolver2D:
             )
             self._init_fourier_greens_from_half(half)
         else:
+            # mesh path: host float64 build (a device build would round
+            # trip through the host in shard_scalar_field anyway)
             greens = _build_greens_kernel(
                 (dy, dxs), compute, origin, np.dtype(real_t),
-                on_device=_device_greens_build(
-                    build_greens_on_device, 4 * grid_size_y * grid_size_x
-                ),
+                on_device=False,
             )
-            self._init_fourier_greens(np.asarray(greens))
+            self._init_fourier_greens(greens)
 
     def _init_fourier_greens(self, greens: np.ndarray):
         """Forward-transform the (real-spectrum) Green's function once,
@@ -436,13 +438,15 @@ class UnboundedPoissonSolver3D:
             )
             self._init_fourier_greens_from_half(half)
         else:
+            # mesh path: the full doubled kernel feeds distributed_rfftn.
+            # Build on host (float64 reference precision): a device build
+            # would land unsharded on one device and shard_scalar_field
+            # pulls through the host anyway - a pure round trip.
             greens = _build_greens_kernel(
                 (dz, dy, dxs), compute, origin, np.dtype(real_t),
-                on_device=on_device,
+                on_device=False,
             )
-            UnboundedPoissonSolver2D._init_fourier_greens(
-                self, np.asarray(greens)
-            )
+            UnboundedPoissonSolver2D._init_fourier_greens(self, greens)
 
     _dense_greens = UnboundedPoissonSolver2D._dense_greens
     _init_fourier_greens_from_half = (

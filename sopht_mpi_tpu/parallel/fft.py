@@ -144,15 +144,18 @@ def _convolve2_local(field, greens, *, py: int, ny: int, nx: int, fxp: int):
     return jax.lax.slice_in_dim(out, 0, nx, axis=1)
 
 
-def _pallas_mid_passes_ok(m: int, b: int) -> bool:
+def _pallas_mid_passes_ok(m: int, b: int, *, conv: bool = False) -> bool:
     """Whether the per-shard Pallas kernels can serve a middle-axis pass of
-    doubled length ``m`` over lane batch ``b``."""
+    doubled length ``m`` over lane batch ``b``. ``conv=True`` checks the
+    fused greens pass's stricter tile budget."""
     from sopht_mpi_tpu.parallel.pallas_fft import (
+        conv_pass_tile_ok,
         pallas_fft_supported,
         pass_tile_ok,
     )
 
-    return pallas_fft_supported(m) and pass_tile_ok(b, m)
+    ok = conv_pass_tile_ok if conv else pass_tile_ok
+    return pallas_fft_supported(m) and ok(b, m)
 
 
 def _split_reim(f):
@@ -256,7 +259,7 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
         )
         pallas_y = on_tpu and _pallas_mid_passes_ok(2 * ny, fxp // py)
         pallas_z = on_tpu and _pallas_mid_passes_ok(
-            2 * nz, (2 * ny // pz) * (fxp // py)
+            2 * nz, (2 * ny // pz) * (fxp // py), conv=True
         )
         fn = functools.partial(
             _convolve3_local, pz=pz, py=py,

@@ -191,6 +191,20 @@ def pass_tile_ok(b: int, m: int) -> bool:
     return _pick_btile(b, _pass_budget(m)) is not None
 
 
+def _conv_budget(m: int) -> int:
+    """Lane-tile budget of the fused fwd+greens+inv pass (larger VMEM
+    working set than a single pass): bt=512 at m<=512 measures fastest;
+    m=1024 needs bt=128 (256 overflows scoped vmem by ~1 MB)."""
+    return 512 if m <= 512 else 128
+
+
+def conv_pass_tile_ok(b: int, m: int) -> bool:
+    """Whether the fused ``fft_greens_ifft_pass`` admits a valid tile -
+    STRICTER than :func:`pass_tile_ok`; support gates must use this for
+    the greens pass or risk a trace-time assert instead of a fallback."""
+    return _pick_btile(b, _conv_budget(m)) is not None
+
+
 def fft_pass_padded(xr, xi, axis_len_out: int):
     """Forward padded FFT along the MIDDLE axis of (A, L, B) float32 pairs:
     input L = m/2 (zero-padded semantics), output L = m = axis_len_out."""
@@ -316,11 +330,7 @@ def fft_greens_ifft_pass(xr, xi, greens):
     a_dim, l_in, b = xr.shape
     m = 2 * l_in
     m1, m2 = _best_factors(m)
-    # Empirical VMEM fit for the fused kernel's working set (inputs +
-    # greens + two stacked intermediates + outputs, double-buffered):
-    # bt=512 at m=512 measures fastest; m=1024 needs bt=128 (256 overflows
-    # scoped vmem by ~1 MB).
-    bt = _pick_btile(b, 512 if m <= 512 else 128)
+    bt = _pick_btile(b, _conv_budget(m))
     assert bt is not None, (b, m)
     p1, paf = _packed_fwd_mats(m)
     pai, p2 = _packed_inv_mats(m)

@@ -372,3 +372,14 @@ def test_scan_steps_donate_matches():
         np.asarray(out.flow_state.primary_scalar_field),
         np.asarray(ref.flow_state.primary_scalar_field),
     )
+
+
+def test_rod_fsi_step_conflicting_substep_args_raise():
+    flow_sim, rod, collection, interactor = _rod_case()
+    collection.finalize()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="conflicts"):
+        build_rod_fsi_step(
+            flow_sim, interactor, collection,
+            rod_substeps=2, rod_dt=1e-4, max_rod_substeps=4,
+        )
