@@ -241,9 +241,10 @@ def flow_past_sphere_fused_case(
         times.append(float(carry.time) / timescale)
         drag_coeffs.append(cd)
         logger.info(f"t*={times[-1]:.2f} Cd={cd:.4f}")
-    np.savetxt(
-        "drag_vs_time.csv", np.c_[times, drag_coeffs], delimiter=","
-    )
+        # write incrementally: long large-grid runs can be interrupted
+        np.savetxt(
+            "drag_vs_time.csv", np.c_[times, drag_coeffs], delimiter=","
+        )
     return times, drag_coeffs
 
 
