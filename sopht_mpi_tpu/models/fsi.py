@@ -218,20 +218,13 @@ def build_rod_fsi_step(
         if dynamic:
             # reference: int(flow_dt / min(flow_dt, rod_dt)), >= 1
             n_raw = jnp.floor(dt / jnp.minimum(dt, rod_dt)).astype(jnp.int32)
+            # The scan length is static, so a demand beyond max_rod_substeps
+            # must clamp - making sub_dt exceed rod_dt, which can
+            # destabilize the rod. Choose max_rod_substeps with margin over
+            # ceil(max expected flow_dt / rod_dt). (An in-trace warning via
+            # jax.debug.print is not possible: host callbacks are
+            # unsupported on this TPU backend.)
             n_sub = jnp.clip(n_raw, 1, max_rod_substeps)
-            # the scan length is static, so a demand beyond max_rod_substeps
-            # must clamp - which makes sub_dt exceed rod_dt and can
-            # destabilize the rod; surface it loudly instead of silently
-            jax.lax.cond(
-                n_raw > max_rod_substeps,
-                lambda: jax.debug.print(
-                    "WARNING: rod substep demand {n} exceeds "
-                    "max_rod_substeps={m}; sub_dt now exceeds rod_dt - "
-                    "raise max_rod_substeps",
-                    n=n_raw, m=max_rod_substeps,
-                ),
-                lambda: None,
-            )
             scan_length = max_rod_substeps
         else:
             n_sub = jnp.asarray(rod_substeps, jnp.int32)
