@@ -42,6 +42,8 @@ def flow_past_freely_rotating_rod_case(
     restart_dir="restart_data",
     save_interval=0.25,
     restart_simulation=False,
+    fused=False,
+    window=50,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -141,9 +143,11 @@ def flow_past_freely_rotating_rod_case(
             surface_grid_density_for_largest_element
         ),
     )
-    flow_past_sim.add_forcing_to(flow_past_rod).using(
-        FlowForces, cosserat_rod_flow_interactor
-    )
+    if not fused:
+        # the fused loop computes the flow forces in-trace instead
+        flow_past_sim.add_forcing_to(flow_past_rod).using(
+            FlowForces, cosserat_rod_flow_interactor
+        )
 
     # ---- checkpoint IO: flow fields + IBM mismatch + rod state ----
     os.makedirs(restart_dir, exist_ok=True)
@@ -209,6 +213,63 @@ def flow_past_freely_rotating_rod_case(
 
     # ---- time loop ----
     flow_past_sim.finalize()
+
+    if fused:
+        # whole coupled step under one jit, scanned in windows; state is
+        # synced back to the host objects only at checkpoint boundaries
+        from sopht_mpi_tpu.models import (
+            build_rod_fsi_step,
+            init_rod_fsi_carry,
+            scan_steps,
+        )
+
+        checkpoint_index = 0
+        if restart_simulation:
+            checkpoint_index = load_latest_checkpoint()
+        step = build_rod_fsi_step(
+            flow_sim,
+            cosserat_rod_flow_interactor,
+            flow_past_sim,
+            dt_prefac=0.25,
+            free_stream_fn=lambda t: jnp.asarray(
+                velocity_free_stream, real_t
+            ),
+            rod_dt=rod_dt,
+            max_rod_substeps=8,
+        )
+        carry = init_rod_fsi_carry(
+            flow_sim, cosserat_rod_flow_interactor, flow_past_rod
+        )
+
+        def sync_from(c):
+            flow_sim._set_state(c.flow_state)
+            flow_sim.time = float(c.time)
+            flow_past_rod.state = c.rod_state
+            cosserat_rod_flow_interactor.state = c.vb_state
+
+        if not restart_simulation:
+            checkpoint_index += 1
+            save_checkpoint(checkpoint_index)
+        save_timer = 0.0
+        while float(carry.time) < final_time:
+            t_before = float(carry.time)
+            carry, _ = scan_steps(step, carry, window, donate=True)
+            save_timer += float(carry.time) - t_before
+            if save_timer >= save_interval:
+                save_timer = 0.0
+                sync_from(carry)
+                checkpoint_index += 1
+                save_checkpoint(checkpoint_index)
+                logger.info(
+                    f"time: {flow_sim.time:.3f} "
+                    f"({flow_sim.time / final_time * 100:2.1f}%), "
+                    f"max_vort: {flow_sim.get_max_vorticity():.4f}"
+                )
+        sync_from(carry)
+        checkpoint_index += 1
+        save_checkpoint(checkpoint_index)
+        return flow_past_rod, flow_sim
+
     timestepper = PositionVerlet()
     do_step, stages_and_updates = extend_stepper_interface(
         timestepper, flow_past_sim
@@ -260,6 +321,7 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--restart", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
 
     mesh = None
@@ -276,4 +338,5 @@ if __name__ == "__main__":
         precision=args.precision,
         mesh=mesh,
         restart_simulation=args.restart,
+        fused=args.fused,
     )
