@@ -361,7 +361,15 @@ def flow_past_rod_fused_case(
         dt_prefac=0.5,
         free_stream_fn=free_stream,
         rod_dt=rod_dt,
-        max_rod_substeps=8,
+        # the diffusion-limited dt bounds every CFL dt from above, so the
+        # in-trace substep count can never clamp (clamping makes sub_dt
+        # exceed rod_dt and destabilizes stiff rods)
+        max_rod_substeps=int(
+            np.ceil(
+                0.5 * 0.9 * flow_sim.dx**2 / (2 * 2 * nu) / rod_dt
+            )
+        )
+        + 2,
     )
     carry = init_rod_fsi_carry(flow_sim, interactor, rod)
 

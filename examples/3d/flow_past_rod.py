@@ -35,6 +35,8 @@ def flow_past_rod_case(
     mesh=None,
     final_time=2.0,
     save_data=False,
+    fused=False,
+    window=50,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -150,9 +152,11 @@ def flow_past_rod_case(
             surface_grid_density_for_largest_element
         ),
     )
-    flow_past_sim.add_forcing_to(flow_past_rod).using(
-        FlowForces, cosserat_rod_flow_interactor
-    )
+    if not fused:
+        # the fused loop computes the flow forces in-trace instead
+        flow_past_sim.add_forcing_to(flow_past_rod).using(
+            FlowForces, cosserat_rod_flow_interactor
+        )
 
     if save_data:
         from sopht_mpi_tpu.utils import CosseratRodIO, FieldBinding, FieldIO
@@ -176,6 +180,49 @@ def flow_past_rod_case(
 
     # ---- time loop ----
     flow_past_sim.finalize()
+
+    if fused:
+        import jax.numpy as jnp
+        from sopht_mpi_tpu.models import (
+            build_rod_fsi_step,
+            init_rod_fsi_carry,
+            scan_steps,
+        )
+
+        step = build_rod_fsi_step(
+            flow_sim,
+            cosserat_rod_flow_interactor,
+            flow_past_sim,
+            dt_prefac=0.25,
+            free_stream_fn=lambda t: jnp.asarray(
+                velocity_free_stream, real_t
+            ),
+            rod_dt=rod_dt,
+            # the diffusion-limited dt bounds every CFL dt from above, so
+            # the in-trace substep count can never clamp (clamping makes
+            # sub_dt exceed rod_dt and destabilizes stiff rods)
+            max_rod_substeps=int(
+                np.ceil(
+                    0.25 * 0.9 * flow_sim.dx**2 / (2 * 3 * kinematic_viscosity) / rod_dt
+                )
+            )
+            + 2,
+        )
+        carry = init_rod_fsi_carry(
+            flow_sim, cosserat_rod_flow_interactor, flow_past_rod
+        )
+        tip_times, tip_positions = [], []
+        while float(carry.time) < final_time:
+            carry, _ = scan_steps(step, carry, window, donate=True)
+            tip_times.append(float(carry.time))
+            tip_positions.append(np.asarray(carry.rod_state.position[:, -1]))
+            logger.info(
+                f"time: {tip_times[-1]:.2f} "
+                f"({tip_times[-1] / final_time * 100:2.1f}%), "
+                f"tip: {tip_positions[-1]}"
+            )
+        return np.asarray(tip_times), np.asarray(tip_positions)
+
     timestepper = PositionVerlet()
     do_step, stages_and_updates = extend_stepper_interface(
         timestepper, flow_past_sim
@@ -235,6 +282,7 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--save-data", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
 
     mesh = None
@@ -251,4 +299,5 @@ if __name__ == "__main__":
         precision=args.precision,
         mesh=mesh,
         save_data=args.save_data,
+        fused=args.fused,
     )
