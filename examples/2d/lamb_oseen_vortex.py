@@ -34,7 +34,8 @@ def compute_lamb_oseen_velocity(x, y, x_cm, y_cm, nu, gamma, t):
 
 
 def lamb_oseen_vortex_flow_case(
-    grid_size=(256, 256), precision="single", mesh=None, plot=False
+    grid_size=(256, 256), precision="single", mesh=None, plot=False,
+    fused=False, window=100,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import UnboundedFlowSimulator2D
@@ -79,6 +80,29 @@ def lamb_oseen_vortex_flow_case(
 
         plotter = Plotter2D()
 
+    if fused:
+        # device-scanned loop (host loops are dispatch-latency-bound
+        # through a remote-TPU link); windows overshoot t_end by < window
+        # steps, harmless for the error-vs-analytical comparison below
+        from sopht_mpi_tpu.models import (
+            build_flow_only_step,
+            init_flow_only_carry,
+            scan_steps,
+        )
+
+        step = build_flow_only_step(
+            flow_sim,
+            free_stream_fn=lambda t: jnp.asarray(
+                velocity_free_stream, real_t
+            ),
+        )
+        carry = init_flow_only_carry(flow_sim)
+        while float(carry.time) < t_end - 1e-10:
+            carry, _ = scan_steps(step, carry, window, donate=True)
+            logger.info(f"time: {float(carry.time):.3f}")
+        flow_sim._set_state(carry.flow_state)
+        flow_sim.time = float(carry.time)
+
     foto_timer = 0.0
     foto_timer_limit = (t_end - t_start) / 25
     while flow_sim.time < t_end - 1e-10:
@@ -115,6 +139,7 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
 
     mesh = None
@@ -127,4 +152,5 @@ if __name__ == "__main__":
         precision=args.precision,
         mesh=mesh,
         plot=args.plot,
+        fused=args.fused,
     )

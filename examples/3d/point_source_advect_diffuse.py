@@ -30,7 +30,8 @@ def compute_diffused_point_source_field(
 
 
 def point_source_advection_diffusion_case(
-    grid_size=(64, 64, 64), precision="single", mesh=None, save_data=False
+    grid_size=(64, 64, 64), precision="single", mesh=None, save_data=False,
+    fused=False, window=100,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import UnboundedFlowSimulator3D
@@ -79,6 +80,23 @@ def point_source_advection_diffusion_case(
             vorticity=FieldBinding(flow_sim, "primary_vector_field")
         )
 
+    if fused:
+        # device-scanned loop; windows overshoot t_end by < window steps,
+        # harmless for the error-vs-analytical comparison below
+        from sopht_mpi_tpu.models import (
+            build_flow_only_step,
+            init_flow_only_carry,
+            scan_steps,
+        )
+
+        step = build_flow_only_step(flow_sim)
+        carry = init_flow_only_carry(flow_sim)
+        while float(carry.time) < t_end - 1e-10:
+            carry, _ = scan_steps(step, carry, window, donate=True)
+            logger.info(f"time: {float(carry.time):.3f}")
+        flow_sim._set_state(carry.flow_state)
+        flow_sim.time = float(carry.time)
+
     foto_timer = 0.0
     foto_timer_limit = (t_end - t_start) / 20
     while flow_sim.time < t_end - 1e-10:
@@ -119,6 +137,7 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--save-data", action="store_true")
+    parser.add_argument("--fused", action="store_true")
     args = parser.parse_args()
 
     mesh = None
@@ -131,4 +150,5 @@ if __name__ == "__main__":
         precision=args.precision,
         mesh=mesh,
         save_data=args.save_data,
+        fused=args.fused,
     )

@@ -27,6 +27,8 @@ from sopht_mpi_tpu.models.fsi import (
     build_rod_fsi_step,
     init_rigid_fsi_carry,
     init_rod_fsi_carry,
+    build_flow_only_step,
+    init_flow_only_carry,
     scan_steps,
 )
 from sopht_mpi_tpu.models.elastica import (

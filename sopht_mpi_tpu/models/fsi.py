@@ -294,6 +294,49 @@ def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:
     )
 
 
+class FlowOnlyCarry(NamedTuple):
+    flow_state: object
+    time: jax.Array
+    greens: object
+
+
+def build_flow_only_step(
+    flow_sim,
+    dt_prefac=1.0,
+    free_stream_fn: Callable | None = None,
+):
+    """One fused flow-only step (CFL dt control + flow step) for the
+    non-FSI cases (Lamb-Oseen, passive transport): host-driven loops are
+    dispatch-latency-bound through a remote-TPU link, so even pure flow
+    runs should scan on device. Compose with :func:`scan_steps` using
+    :func:`init_flow_only_carry`."""
+    flow_step = flow_sim._step_fn.__wrapped__
+    flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
+    dim = flow_sim.grid_dim
+
+    def step(carry: FlowOnlyCarry):
+        flow_state, time, greens = carry
+        real_t = flow_state.velocity_field.dtype
+        dt = flow_dt(flow_state.velocity_field)
+        fsv = (
+            free_stream_fn(time)
+            if free_stream_fn is not None
+            else jnp.zeros(dim, real_t)
+        )
+        flow_state = flow_step(flow_state, dt, jnp.asarray(fsv, real_t), greens)
+        return FlowOnlyCarry(flow_state, time + dt, greens), dt
+
+    return step
+
+
+def init_flow_only_carry(flow_sim) -> FlowOnlyCarry:
+    return FlowOnlyCarry(
+        flow_state=flow_sim._get_state(),
+        time=jnp.asarray(flow_sim.time, flow_sim.real_t),
+        greens=flow_sim._poisson_greens,
+    )
+
+
 def scan_steps(step_fn, carry, n_steps: int, *, donate: bool = False):
     """Roll ``n_steps`` coupled steps on device; returns
     (final carry, stacked per-step diagnostics).
