@@ -31,6 +31,8 @@ def flow_past_rod_case(
     precision="single",
     mesh=None,
     save_flow_data=False,
+    fused=False,
+    window=100,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -121,6 +123,9 @@ def flow_past_rod_case(
         mesh=mesh,
     )
 
+    if fused and save_flow_data:
+        raise ValueError("save_flow_data is not supported with fused=True")
+
     # ---- coupling ----
     cosserat_rod_flow_interactor = CosseratRodFlowInteraction(
         flow_sim=flow_sim,
@@ -129,9 +134,11 @@ def flow_past_rod_case(
         virtual_boundary_damping_coeff=coupling_damping,
         forcing_grid_cls=CosseratRodElementCentricForcingGrid,
     )
-    flow_past_sim.add_forcing_to(flow_past_rod).using(
-        FlowForces, cosserat_rod_flow_interactor
-    )
+    if not fused:
+        # the fused loop computes the flow forces in-trace instead
+        flow_past_sim.add_forcing_to(flow_past_rod).using(
+            FlowForces, cosserat_rod_flow_interactor
+        )
 
     if save_flow_data:
         from sopht_mpi_tpu.utils import CosseratRodIO, FieldBinding, FieldIO
@@ -158,6 +165,61 @@ def flow_past_rod_case(
 
     # ---- time loop (reference :185-300) ----
     flow_past_sim.finalize()
+
+    if fused:
+        from sopht_mpi_tpu.models import (
+            build_rod_fsi_step,
+            init_rod_fsi_carry,
+            scan_steps,
+        )
+
+        timescale = base_length / velocity_free_stream
+        final_time = nondim_final_time * timescale
+
+        def free_stream(t):
+            # freestream ramp + decaying y-perturbation (reference :289-297)
+            ramp = jnp.exp(-t / timescale)
+            return jnp.asarray(
+                [
+                    velocity_free_stream * (1.0 - ramp),
+                    0.5 * velocity_free_stream * ramp,
+                ],
+                real_t,
+            )
+
+        step = build_rod_fsi_step(
+            flow_sim,
+            cosserat_rod_flow_interactor,
+            flow_past_sim,
+            dt_prefac=0.5,
+            free_stream_fn=free_stream,
+            rod_dt=rod_dt,
+        )
+        carry = init_rod_fsi_carry(
+            flow_sim, cosserat_rod_flow_interactor, flow_past_rod
+        )
+        tip_time, tip_position = [], []
+        while float(carry.time) < final_time:
+            carry, _ = scan_steps(step, carry, window, donate=True)
+            tip = (
+                np.asarray(carry.rod_state.position[(0, 1), -1])
+                - tip_start_position
+            ) / base_length
+            tip_time.append(float(carry.time) / timescale)
+            tip_position.append(tip)
+            logger.info(
+                f"t*={tip_time[-1]:.2f} tip=({tip[0]:+.3f}, {tip[1]:+.3f}) L"
+            )
+        np.savetxt(
+            "rod_tip_position_vs_time.csv",
+            np.column_stack(
+                (np.asarray(tip_time), np.asarray(tip_position))
+            ),
+            delimiter=",",
+            header="time, tip_x, tip_y",
+        )
+        return np.asarray(tip_time), np.asarray(tip_position)
+
     timestepper = PositionVerlet()
     do_step, stages_and_updates = extend_stepper_interface(
         timestepper, flow_past_sim
@@ -242,157 +304,6 @@ def flow_past_rod_case(
 
 
 
-def flow_past_rod_fused_case(
-    nondim_final_time=20.0,
-    grid_size=(256, 512),
-    reynolds=200.0,
-    nondim_bending_stiffness=1.5e-3,
-    nondim_mass_ratio=1.5,
-    froude=0.5,
-    coupling_stiffness=-8e4,
-    coupling_damping=-30.0,
-    precision="single",
-    window=100,
-):
-    """Same flapping-filament physics, whole coupled loop as one on-device
-    ``lax.scan`` with the reference's DYNAMIC rod substep count computed
-    in-trace (models/fsi.py). Validated: tip-y amplitude ~ +-0.33 L over
-    t* in (12, 25], ~60 s wall on one v5e chip
-    (doc/drives/flapping_fused_validation.py)."""
-    import jax
-    import jax.numpy as jnp
-    from sopht_mpi_tpu.models import (
-        AnalyticalLinearDamper,
-        BaseSystemCollection,
-        CosseratRod,
-        CosseratRodElementCentricForcingGrid,
-        CosseratRodFlowInteraction,
-        GravityForces,
-        OneEndFixedBC,
-        UnboundedFlowSimulator2D,
-        build_rod_fsi_step,
-        init_rod_fsi_carry,
-        scan_steps,
-    )
-    from sopht_mpi_tpu.utils import get_real_t, logger
-
-    grid_size_y, grid_size_x = grid_size
-    velocity_free_stream = 1.0
-    rho_f = 1.0
-    base_length = 1.0
-    x_range = 6.0 * base_length
-    y_range = grid_size_y / grid_size_x * x_range
-    real_t = get_real_t(precision)
-
-    collection = BaseSystemCollection()
-    n_elem = grid_size_x // 8
-    start = np.array([base_length, 0.501 * y_range, 0.0])
-    base_radius = 0.01
-    base_area = np.pi * base_radius**2
-    rod_line_density = nondim_mass_ratio * rho_f * base_length * 1.0
-    density = rod_line_density / base_area
-    moment_of_inertia = np.pi / 4 * base_radius**4
-    youngs_modulus = (
-        nondim_bending_stiffness
-        * (rho_f * velocity_free_stream**2 * base_length**3)
-        / moment_of_inertia
-    )
-    rod = CosseratRod.straight_rod(
-        n_elem,
-        start,
-        np.array([1.0, 0.0, 0.0]),
-        np.array([0.0, 0.0, 1.0]),
-        base_length,
-        base_radius,
-        density,
-        youngs_modulus=youngs_modulus,
-        shear_modulus=youngs_modulus / 1.5,
-    )
-    tip_start = np.asarray(rod.position_collection[(0, 1), -1])
-    collection.append(rod)
-    collection.constrain(rod).using(
-        OneEndFixedBC,
-        constrained_position_idx=(0,),
-        constrained_director_idx=(0,),
-    )
-    gravitational_acc = froude * velocity_free_stream**2 / base_length
-    collection.add_forcing_to(rod).using(
-        GravityForces, acc_gravity=np.array([gravitational_acc, 0.0, 0.0])
-    )
-    dl = base_length / n_elem
-    rod_dt = 0.01 * dl
-    collection.dampen(rod).using(
-        AnalyticalLinearDamper, damping_constant=0.5e-3, time_step=rod_dt
-    )
-    collection.finalize()
-
-    nu = base_length * velocity_free_stream / reynolds
-    flow_sim = UnboundedFlowSimulator2D(
-        grid_size=grid_size,
-        x_range=x_range,
-        kinematic_viscosity=nu,
-        flow_type="navier_stokes_with_forcing",
-        with_free_stream_flow=True,
-        real_t=real_t,
-    )
-    interactor = CosseratRodFlowInteraction(
-        flow_sim=flow_sim,
-        cosserat_rod=rod,
-        virtual_boundary_stiffness_coeff=coupling_stiffness,
-        virtual_boundary_damping_coeff=coupling_damping,
-        forcing_grid_cls=CosseratRodElementCentricForcingGrid,
-    )
-
-    def free_stream(t):
-        # freestream ramp + decaying y-perturbation (reference :289-297)
-        ramp = jnp.exp(-t / 1.0)
-        return jnp.asarray(
-            [
-                velocity_free_stream * (1.0 - ramp),
-                0.5 * velocity_free_stream * ramp,
-            ],
-            real_t,
-        )
-
-    step = build_rod_fsi_step(
-        flow_sim,
-        interactor,
-        collection,
-        dt_prefac=0.5,
-        free_stream_fn=free_stream,
-        rod_dt=rod_dt,
-        # the diffusion-limited dt bounds every CFL dt from above, so the
-        # in-trace substep count can never clamp (clamping makes sub_dt
-        # exceed rod_dt and destabilizes stiff rods)
-        max_rod_substeps=int(
-            np.ceil(
-                0.5 * 0.9 * flow_sim.dx**2 / (2 * 2 * nu) / rod_dt
-            )
-        )
-        + 2,
-    )
-    carry = init_rod_fsi_carry(flow_sim, interactor, rod)
-
-    tip_time, tip_position = [], []
-    while float(carry.time) < nondim_final_time:
-        carry, _ = scan_steps(step, carry, window, donate=True)
-        tip = (
-            np.asarray(carry.rod_state.position[(0, 1), -1]) - tip_start
-        ) / base_length
-        tip_time.append(float(carry.time))
-        tip_position.append(tip)
-        logger.info(
-            f"t*={tip_time[-1]:.2f} tip=({tip[0]:+.3f}, {tip[1]:+.3f}) L"
-        )
-    np.savetxt(
-        "rod_tip_position_vs_time.csv",
-        np.column_stack((np.asarray(tip_time), np.asarray(tip_position))),
-        delimiter=",",
-        header="time, tip_x, tip_y",
-    )
-    return np.asarray(tip_time), np.asarray(tip_position)
-
-
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--final-time", type=float, default=20.0)
@@ -408,17 +319,11 @@ if __name__ == "__main__":
         from sopht_mpi_tpu.parallel import create_mesh
 
         mesh = create_mesh(2, (args.n_devices, 1))
-    if args.fused:
-        flow_past_rod_fused_case(
-            nondim_final_time=args.final_time,
-            grid_size=(args.grid_size_x // 2, args.grid_size_x),
-            precision=args.precision,
-        )
-    else:
-        flow_past_rod_case(
-            nondim_final_time=args.final_time,
-            grid_size=(args.grid_size_x // 2, args.grid_size_x),
-            precision=args.precision,
-            mesh=mesh,
-            save_flow_data=args.save_flow_data,
-        )
+    flow_past_rod_case(
+        nondim_final_time=args.final_time,
+        grid_size=(args.grid_size_x // 2, args.grid_size_x),
+        precision=args.precision,
+        mesh=mesh,
+        save_flow_data=args.save_flow_data,
+        fused=args.fused,
+    )

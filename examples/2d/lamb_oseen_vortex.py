@@ -75,6 +75,11 @@ def lamb_oseen_vortex_flow_case(
         real_t,
     )
 
+    if fused and plot:
+        raise ValueError(
+            "plot is not supported with fused=True (snapshots live in the "
+            "host loop)"
+        )
     if plot:
         from sopht_mpi_tpu.utils import Plotter2D
 

@@ -235,15 +235,6 @@ def flow_past_freely_rotating_rod_case(
                 velocity_free_stream, real_t
             ),
             rod_dt=rod_dt,
-            # the diffusion-limited dt bounds every CFL dt from above, so
-            # the in-trace substep count can never clamp (clamping makes
-            # sub_dt exceed rod_dt and destabilizes stiff rods)
-            max_rod_substeps=int(
-                np.ceil(
-                    0.25 * 0.9 * flow_sim.dx**2 / (2 * 3 * kinematic_viscosity) / rod_dt
-                )
-            )
-            + 2,
         )
         carry = init_rod_fsi_carry(
             flow_sim, cosserat_rod_flow_interactor, flow_past_rod

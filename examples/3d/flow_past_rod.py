@@ -152,6 +152,11 @@ def flow_past_rod_case(
             surface_grid_density_for_largest_element
         ),
     )
+    if fused and save_data:
+        raise ValueError(
+            "save_data is not supported with fused=True (snapshot writes "
+            "live in the host loop)"
+        )
     if not fused:
         # the fused loop computes the flow forces in-trace instead
         flow_past_sim.add_forcing_to(flow_past_rod).using(
@@ -198,15 +203,6 @@ def flow_past_rod_case(
                 velocity_free_stream, real_t
             ),
             rod_dt=rod_dt,
-            # the diffusion-limited dt bounds every CFL dt from above, so
-            # the in-trace substep count can never clamp (clamping makes
-            # sub_dt exceed rod_dt and destabilizes stiff rods)
-            max_rod_substeps=int(
-                np.ceil(
-                    0.25 * 0.9 * flow_sim.dx**2 / (2 * 3 * kinematic_viscosity) / rod_dt
-                )
-            )
-            + 2,
         )
         carry = init_rod_fsi_carry(
             flow_sim, cosserat_rod_flow_interactor, flow_past_rod

@@ -67,6 +67,11 @@ def point_source_advection_diffusion_case(
         flow_sim.velocity_field
     )
 
+    if fused and save_data:
+        raise ValueError(
+            "save_data is not supported with fused=True (snapshot writes "
+            "live in the host loop)"
+        )
     if save_data:
         from sopht_mpi_tpu.utils import FieldBinding, FieldIO
 

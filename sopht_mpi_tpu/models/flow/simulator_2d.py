@@ -236,6 +236,16 @@ class UnboundedFlowSimulator2D:
         )
         return float(dt) * dt_prefac
 
+    def diffusion_limited_timestep(self, dt_prefac=1.0) -> float:
+        """Upper bound on every CFL/diffusion timestep this simulator can
+        return: the diffusion limit ``0.9 dx^2 / (2 dim nu)`` (the CFL term
+        only ever shrinks it). Used to size static scan lengths (e.g. the
+        dynamic rod substep cap) so in-trace counts can never clamp."""
+        return float(
+            dt_prefac * 0.9 * self.dx**2
+            / (2 * self.grid_dim * self.kinematic_viscosity)
+        )
+
     def get_max_vorticity(self) -> float:
         """Global maximum vorticity (reference :323-328)."""
         return float(jnp.max(self.vorticity_field))

@@ -247,6 +247,14 @@ class UnboundedFlowSimulator3D:
         )
         return float(dt) * dt_prefac
 
+    def diffusion_limited_timestep(self, dt_prefac=1.0) -> float:
+        """Upper bound on every CFL/diffusion timestep this simulator can
+        return (see UnboundedFlowSimulator2D.diffusion_limited_timestep)."""
+        return float(
+            dt_prefac * 0.9 * self.dx**2
+            / (2 * self.grid_dim * self.kinematic_viscosity)
+        )
+
     def get_max_vorticity(self) -> float:
         return float(jnp.max(self.vorticity_field))
 

@@ -167,28 +167,37 @@ def build_rod_fsi_step(
 
     - static (``rod_substeps=k``): exactly ``k`` substeps per flow step
       (the scan length) - choose ``ceil(expected_flow_dt / rod_dt)``;
-    - dynamic (``rod_dt=..., max_rod_substeps=...``): the reference's
-      per-step count ``int(flow_dt / min(flow_dt, rod_dt))``
-      (flow_past_rod.py:278-279), computed in-trace from the CFL flow dt.
-      The scan runs ``max_rod_substeps`` iterations (static shape) and
-      masks out iterations beyond the active count; the rod work is
-      O(markers), tiny next to the flow step, so the idle iterations cost
-      little.
+    - dynamic (``rod_dt=...``): the reference's per-step count
+      ``int(flow_dt / min(flow_dt, rod_dt))`` (flow_past_rod.py:278-279),
+      computed in-trace from the CFL flow dt. The scan runs a static
+      number of iterations and masks out those beyond the active count;
+      the rod work is O(markers), tiny next to the flow step, so the idle
+      iterations cost little. The static scan length defaults to
+      ``ceil(flow_sim.diffusion_limited_timestep(dt_prefac) / rod_dt) + 2``
+      - an upper bound on the demand, so the in-trace count can NEVER
+      clamp (clamping would make sub_dt exceed rod_dt and can destabilize
+      stiff rods); ``max_rod_substeps`` overrides it at your own risk.
 
     The rod must be the only system in ``rod_collection``, already
     ``finalize()``-d, with the ``FlowForces`` coupling NOT registered (the
     flow forces are computed in-trace here).
     """
     dynamic = rod_substeps is None
-    if dynamic and (rod_dt is None or max_rod_substeps is None):
+    if dynamic and rod_dt is None:
         raise ValueError(
-            "pass either rod_substeps (static) or both rod_dt and "
-            "max_rod_substeps (dynamic)"
+            "pass either rod_substeps (static) or rod_dt (dynamic)"
         )
     if not dynamic and (rod_dt is not None or max_rod_substeps is not None):
         raise ValueError(
             "rod_substeps (static mode) conflicts with rod_dt/"
             "max_rod_substeps (dynamic mode) - pass one or the other"
+        )
+    if dynamic and max_rod_substeps is None:
+        import math
+
+        max_rod_substeps = (
+            math.ceil(flow_sim.diffusion_limited_timestep(dt_prefac) / rod_dt)
+            + 2
         )
     assert rod_collection._finalized
     assert len(rod_collection._systems) == 1
