@@ -551,5 +551,10 @@ def _use_interpret() -> bool:
 
 
 def pallas_fft_supported(m: int) -> bool:
+    """Axis lengths the fused kernels are validated/tuned for. The upper
+    cap matters: at m = 2048 the packed per-slice matrices alone are
+    ~8 MB of VMEM (vs 0.5 MB at m = 1024), which would overflow scoped
+    vmem at trace time instead of falling back - sizes beyond 1024
+    (doubled, i.e. grids beyond 512 cells/axis) take the einsum path."""
     m1, m2 = _best_factors(m)
-    return m >= 64 and m1 >= 4 and m2 % 2 == 0
+    return 64 <= m <= 1024 and m1 >= 4 and m2 % 2 == 0

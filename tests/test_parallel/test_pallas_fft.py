@@ -154,3 +154,15 @@ def test_rfft_split_and_merge_roundtrip():
     )
     y = irfft_pass_merge(br, bi, sr, si, m, n)
     np.testing.assert_allclose(np.asarray(y), x, atol=2e-6 * np.abs(x).max())
+
+
+def test_pallas_fft_supported_range():
+    """Sizes outside the validated/tuned window fall back instead of
+    risking a trace-time scoped-vmem overflow (m=2048 packed mats ~8 MB)."""
+    from sopht_mpi_tpu.parallel.pallas_fft import pallas_fft_supported
+
+    assert pallas_fft_supported(64)
+    assert pallas_fft_supported(512)
+    assert pallas_fft_supported(1024)
+    assert not pallas_fft_supported(32)
+    assert not pallas_fft_supported(2048)
