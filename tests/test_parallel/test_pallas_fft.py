@@ -166,3 +166,25 @@ def test_pallas_fft_supported_range():
     assert pallas_fft_supported(1024)
     assert not pallas_fft_supported(32)
     assert not pallas_fft_supported(2048)
+
+
+@pytest.mark.parametrize("m", [64, 256, 1024])
+def test_fft_greens_ifft_pass_sizes(m):
+    """The fused fwd*greens*inv pass across the supported size range -
+    m=1024 is the 512^3 production configuration."""
+    from sopht_mpi_tpu.parallel.pallas_fft import fft_greens_ifft_pass
+
+    rng = np.random.default_rng(m)
+    a_dim, b = 2, 16
+    xr = rng.standard_normal((a_dim, m // 2, b)).astype(np.float32)
+    xi = rng.standard_normal((a_dim, m // 2, b)).astype(np.float32)
+    g = rng.standard_normal((1, m, b)).astype(np.float32)
+    or_, oi = fft_greens_ifft_pass(
+        jnp.asarray(xr), jnp.asarray(xi), jnp.asarray(g)
+    )
+    x = xr + 1j * xi
+    ref = np.fft.ifft(np.fft.fft(x, n=m, axis=1) * g, axis=1)[:, : m // 2]
+    np.testing.assert_allclose(
+        np.asarray(or_) + 1j * np.asarray(oi), ref,
+        atol=5e-5 * np.abs(ref).max(),
+    )
