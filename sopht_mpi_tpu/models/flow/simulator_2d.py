@@ -191,6 +191,15 @@ class UnboundedFlowSimulator2D:
 
         self._step_fn = jax.jit(step)
 
+        def step_l1(state, dt, free_stream_velocity, poisson_greens):
+            """(state, velocity |u|_1 max): in 2D the max is a plain jnp
+            reduction on the new velocity - the same read the next step
+            would have done for dt control, just moved to the step end."""
+            new = step(state, dt, free_stream_velocity, poisson_greens)
+            return new, jnp.max(jnp.sum(jnp.abs(new.velocity_field), axis=0))
+
+        self._step_l1_fn = jax.jit(step_l1)
+
     @property
     def _poisson_greens(self):
         """The Fourier Green's function, passed as a traced jit argument so

@@ -207,6 +207,18 @@ class UnboundedFlowSimulator3D:
 
         self._step_fn = jax.jit(step)
 
+        def step_l1(state, dt, free_stream_velocity, poisson_greens):
+            """(state, velocity |u|_1 max) - the CFL quantity rides out of
+            the step (from the curl kernel on the Pallas path) so fused
+            loops need no extra velocity read for dt control."""
+            return flow_step_3d(
+                state, dt, free_stream_velocity,
+                poisson_greens=poisson_greens,
+                return_velocity_l1_max=True, **cfg,
+            )
+
+        self._step_l1_fn = jax.jit(step_l1)
+
     @property
     def _poisson_greens(self):
         """The Fourier Green's function, passed as a traced jit argument so
@@ -288,9 +300,13 @@ def compute_flow_velocity_3d(
     dx, penalty_zone_width, poisson_solver, with_free_stream,
     poisson_greens=None,
     use_pallas=False,
+    return_velocity_l1_max=False,
 ):
     """Wall-penalise vorticity -> vector Poisson -> curl -> free stream
-    (reference :382-393). Returns (vorticity, velocity).
+    (reference :382-393). Returns (vorticity, velocity), plus the global
+    ``max |u|_1`` of the new velocity (the CFL control quantity, reduced
+    inside the curl kernel on the Pallas path) when
+    ``return_velocity_l1_max``.
 
     (The fully spectral fused curl,
     ``UnboundedPoissonSolver3D.velocity_from_vorticity_spectral``, is
@@ -299,12 +315,13 @@ def compute_flow_velocity_3d(
     ones.)"""
     vorticity = penalise_field_boundary_vector_3d(vorticity, penalty_zone_width)
     stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
+    l1_max = None
     if use_pallas:
         from sopht_mpi_tpu.ops.pallas_stencils_3d import curl_3d_pallas
 
         # free-stream add folded into the curl kernel: saves one full
         # read+write pass over the velocity field
-        velocity = curl_3d_pallas(
+        res = curl_3d_pallas(
             stream_func,
             jnp.asarray(0.5 / dx, vorticity.dtype),
             add_vector=(
@@ -312,11 +329,17 @@ def compute_flow_velocity_3d(
                 if with_free_stream
                 else None
             ),
+            compute_l1_max=return_velocity_l1_max,
         )
+        velocity, l1_max = res if return_velocity_l1_max else (res, None)
     else:
         velocity = curl_3d(stream_func, jnp.asarray(0.5 / dx, vorticity.dtype))
         if with_free_stream:
             velocity = add_fixed_val(velocity, free_stream_velocity)
+        if return_velocity_l1_max:
+            l1_max = jnp.max(jnp.sum(jnp.abs(velocity), axis=0))
+    if return_velocity_l1_max:
+        return vorticity, velocity, l1_max
     return vorticity, velocity
 
 
@@ -335,15 +358,23 @@ def flow_step_3d(
     poisson_solver,
     poisson_greens=None,
     use_pallas=False,
+    return_velocity_l1_max=False,
 ) -> FlowState3D:
     """One full 3D flow timestep (pure; jit/scan-safe). Ordering matches
-    the reference dispatch (:327-413)."""
+    the reference dispatch (:327-413).
+
+    ``return_velocity_l1_max=True`` returns ``(state, l1_max)`` where
+    ``l1_max`` is the new velocity's global ``max |u|_1`` (the CFL control
+    quantity, reduced inside the curl kernel on the Pallas path so the
+    NEXT step's dt control needs no extra velocity read), or None for the
+    passive flow types whose velocity never changes in-step."""
     field = state.primary_field
     velocity = state.velocity_field
     forcing = state.eul_grid_forcing_field
     real_t = field.dtype
     nu_dt_by_dx2 = jnp.asarray(nu * dt / dx / dx, real_t)
     dt_by_dx = jnp.asarray(dt / dx, real_t)
+    l1_max = None
 
     if flow_type == "passive_scalar":
         field = advection_timestep_eno3_3d(field, velocity, dt_by_dx)
@@ -374,7 +405,7 @@ def flow_step_3d(
             field = diffusion_timestep_vector_3d(field, nu_dt_by_dx2)
         if filter_order > 0:
             field = laplacian_filter_vector_3d(field, filter_order, filter_type)
-        field, velocity = compute_flow_velocity_3d(
+        res = compute_flow_velocity_3d(
             field,
             free_stream_velocity,
             dx=dx,
@@ -383,11 +414,19 @@ def flow_step_3d(
             with_free_stream=with_free_stream,
             poisson_greens=poisson_greens,
             use_pallas=use_pallas,
+            return_velocity_l1_max=return_velocity_l1_max,
         )
+        if return_velocity_l1_max:
+            field, velocity, l1_max = res
+        else:
+            field, velocity = res
         if flow_type == "navier_stokes_with_forcing":
             forcing = jnp.zeros_like(forcing)
 
-    return FlowState3D(field, velocity, forcing)
+    new_state = FlowState3D(field, velocity, forcing)
+    if return_velocity_l1_max:
+        return new_state, l1_max
+    return new_state
 
 
 @functools.partial(jax.jit, static_argnames=("CFL", "dx", "nu", "tol"))

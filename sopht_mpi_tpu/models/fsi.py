@@ -43,6 +43,10 @@ class RigidFSICarry(NamedTuple):
     # compiled-in constant (the remote-compile payload rejects ~270MB
     # constants at 256^3); step functions return it unchanged
     greens: jax.Array = None
+    # max |u|_1 of flow_state.velocity_field, carried so the CFL dt needs
+    # no fresh velocity read (on the 3D Pallas path it is reduced inside
+    # the curl kernel that produced the velocity)
+    velocity_l1_max: jax.Array = None
 
 
 class RodFSICarry(NamedTuple):
@@ -51,28 +55,32 @@ class RodFSICarry(NamedTuple):
     rod_state: object
     time: jax.Array
     greens: jax.Array = None  # see RigidFSICarry.greens
+    velocity_l1_max: jax.Array = None  # see RigidFSICarry
+
+
+def velocity_l1_max(velocity_field):
+    """The CFL control quantity ``max(sum_c |u_c|)``."""
+    return jnp.max(jnp.sum(jnp.abs(velocity_field), axis=0))
 
 
 def _flow_dt_fn(flow_sim, dt_prefac):
-    if flow_sim.grid_dim == 2:
-        from sopht_mpi_tpu.models.flow.simulator_2d import (
-            compute_stable_timestep_2d as stable,
-        )
-    else:
-        from sopht_mpi_tpu.models.flow.simulator_3d import (
-            compute_stable_timestep_3d as stable,
-        )
+    """dt from the carried ``max |u|_1`` - identical arithmetic to
+    ``compute_stable_timestep_{2d,3d}`` on the same reduction."""
     from sopht_mpi_tpu.utils.types import get_test_tol
 
-    kwargs = dict(
-        CFL=flow_sim.CFL,
-        dx=flow_sim.dx,
-        nu=flow_sim.kinematic_viscosity,
-        tol=get_test_tol("single"),
-    )
+    CFL = flow_sim.CFL
+    dx = flow_sim.dx
+    nu = flow_sim.kinematic_viscosity
+    tol = get_test_tol("single")
+    dim = flow_sim.grid_dim
+    real_t = flow_sim.real_t
 
-    def flow_dt(velocity_field):
-        return stable(velocity_field, **kwargs).astype(velocity_field.dtype) * dt_prefac
+    def flow_dt(l1_max):
+        dt_advection = CFL * dx / (l1_max + tol)
+        dt_diffusion = 0.9 * dx**2 / (2 * dim) / (nu + tol)
+        return (
+            jnp.minimum(dt_advection, dt_diffusion).astype(real_t) * dt_prefac
+        )
 
     return flow_dt
 
@@ -91,7 +99,7 @@ def build_rigid_fsi_step(
         diagnostics is the summed Lagrangian forcing (for e.g. drag).
     """
     params = interactor.params
-    flow_step = flow_sim._step_fn.__wrapped__
+    flow_step_l1 = flow_sim._step_l1_fn.__wrapped__
     lag_pos = interactor.forcing_grid.compute_lag_grid_position_field()
     lag_vel = interactor.forcing_grid.compute_lag_grid_velocity_field()
     flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
@@ -102,8 +110,8 @@ def build_rigid_fsi_step(
         193-199): integrate the mismatch with the PREVIOUS interaction's
         velocity mismatch, then compute the new interaction, then step
         the flow."""
-        flow_state, vb_state, prev_mismatch, time, greens = carry
-        dt = flow_dt(flow_state.velocity_field)
+        flow_state, vb_state, prev_mismatch, time, greens, u_l1 = carry
+        dt = flow_dt(u_l1)
         vb_state = virtual_boundary_time_step(vb_state, prev_mismatch, dt)
         eul_forcing, interaction = compute_interaction_force_on_eul_and_lag_grid(
             vb_state,
@@ -122,11 +130,11 @@ def build_rigid_fsi_step(
             real_t,
         )
         flow_state = flow_state._replace(eul_grid_forcing_field=eul_forcing)
-        flow_state = flow_step(flow_state, dt, fsv, greens)
+        flow_state, new_l1 = flow_step_l1(flow_state, dt, fsv, greens)
         lag_force_sum = jnp.sum(interaction.lag_forcing, axis=1)
         new_carry = RigidFSICarry(
             flow_state, vb_state, interaction.velocity_mismatch, time + dt,
-            greens,
+            greens, new_l1 if new_l1 is not None else u_l1,
         )
         return new_carry, lag_force_sum
 
@@ -141,6 +149,7 @@ def init_rigid_fsi_carry(flow_sim, interactor) -> RigidFSICarry:
         velocity_mismatch=jnp.zeros_like(interactor.state.position_mismatch),
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
+        velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
     )
 
 
@@ -205,7 +214,7 @@ def build_rod_fsi_step(
     rod_step = rod_collection._step_fns[0].__wrapped__
     grid = interactor.forcing_grid
     params = interactor.params
-    flow_step = flow_sim._step_fn.__wrapped__
+    flow_step_l1 = flow_sim._step_l1_fn.__wrapped__
     flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
     dim = flow_sim.grid_dim
 
@@ -221,8 +230,8 @@ def build_rod_fsi_step(
         return forces, torques, interaction.velocity_mismatch
 
     def step(carry: RodFSICarry):
-        flow_state, vb_state, rod_state, time, greens = carry
-        dt = flow_dt(flow_state.velocity_field)
+        flow_state, vb_state, rod_state, time, greens, u_l1 = carry
+        dt = flow_dt(u_l1)
         real_t = flow_state.velocity_field.dtype
         if dynamic:
             # reference: int(flow_dt / min(flow_dt, rod_dt)), >= 1
@@ -283,10 +292,15 @@ def build_rod_fsi_step(
             else jnp.zeros(dim, real_t)
         )
         flow_state = flow_state._replace(eul_grid_forcing_field=eul_forcing)
-        flow_state = flow_step(flow_state, dt, jnp.asarray(fsv, real_t), greens)
+        flow_state, new_l1 = flow_step_l1(
+            flow_state, dt, jnp.asarray(fsv, real_t), greens
+        )
         lag_force_sum = jnp.sum(interaction.lag_forcing, axis=1)
         return (
-            RodFSICarry(flow_state, vb_state, rod_state, time + dt, greens),
+            RodFSICarry(
+                flow_state, vb_state, rod_state, time + dt, greens,
+                new_l1 if new_l1 is not None else u_l1,
+            ),
             lag_force_sum,
         )
 
@@ -300,6 +314,7 @@ def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:
         rod_state=rod.state,
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
+        velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
     )
 
 
@@ -307,6 +322,7 @@ class FlowOnlyCarry(NamedTuple):
     flow_state: object
     time: jax.Array
     greens: object
+    velocity_l1_max: jax.Array = None  # see RigidFSICarry
 
 
 def build_flow_only_step(
@@ -319,21 +335,30 @@ def build_flow_only_step(
     dispatch-latency-bound through a remote-TPU link, so even pure flow
     runs should scan on device. Compose with :func:`scan_steps` using
     :func:`init_flow_only_carry`."""
-    flow_step = flow_sim._step_fn.__wrapped__
+    flow_step_l1 = flow_sim._step_l1_fn.__wrapped__
     flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
     dim = flow_sim.grid_dim
 
     def step(carry: FlowOnlyCarry):
-        flow_state, time, greens = carry
+        flow_state, time, greens, u_l1 = carry
         real_t = flow_state.velocity_field.dtype
-        dt = flow_dt(flow_state.velocity_field)
+        dt = flow_dt(u_l1)
         fsv = (
             free_stream_fn(time)
             if free_stream_fn is not None
             else jnp.zeros(dim, real_t)
         )
-        flow_state = flow_step(flow_state, dt, jnp.asarray(fsv, real_t), greens)
-        return FlowOnlyCarry(flow_state, time + dt, greens), dt
+        flow_state, new_l1 = flow_step_l1(
+            flow_state, dt, jnp.asarray(fsv, real_t), greens
+        )
+        # passive flow types leave the velocity untouched -> keep the max
+        return (
+            FlowOnlyCarry(
+                flow_state, time + dt, greens,
+                new_l1 if new_l1 is not None else u_l1,
+            ),
+            dt,
+        )
 
     return step
 
@@ -343,6 +368,7 @@ def init_flow_only_carry(flow_sim) -> FlowOnlyCarry:
         flow_state=flow_sim._get_state(),
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
+        velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
     )
 
 

@@ -22,6 +22,8 @@ not fit VMEM or when not running on TPU (``interpret=True`` used in tests).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -136,7 +138,11 @@ def _curl_planes(q_zm, q_c, q_zp, prefac):
     return prefac * mask * jnp.stack([curl_x, curl_y, curl_z])
 
 
-def _curl_kernel(prefac_ref, add_ref, f_zm, f_c, f_zp, out_ref):
+def _curl_kernel(with_l1max, prefac_ref, add_ref, f_zm, f_c, f_zp, *out_refs):
+    if with_l1max:
+        out_ref, max_ref = out_refs
+    else:
+        (out_ref,) = out_refs
     i = pl.program_id(0)
     nz = pl.num_programs(0)
     p = prefac_ref[0, 0]
@@ -144,22 +150,42 @@ def _curl_kernel(prefac_ref, add_ref, f_zm, f_c, f_zp, out_ref):
     on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
     # SMEM permits only scalar loads; add each component's scalar directly
     w = jnp.where(on_z_wall, 0.0, 1.0)
+    comps = []
     for c in range(3):
-        out_ref[c, 0] = w * curl[c] + add_ref[c, 0]
+        o = w * curl[c] + add_ref[c, 0]
+        out_ref[c, 0] = o
+        comps.append(o)
+    if with_l1max:
+        # per-plane max of |u|_1: the CFL reduction rides out of this pass
+        # so the next step's dt control costs no extra velocity read.
+        # Output blocks must be (8,128)-tiled: 8 planes share one (8, 1)
+        # block, each grid step storing its row via a dynamic sublane
+        # slice.
+        m = jnp.max(jnp.abs(comps[0]) + jnp.abs(comps[1])
+                    + jnp.abs(comps[2]))
+        max_ref[pl.dslice(i % 8, 1), :] = m.reshape(1, 1)
 
 
-def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False):
+def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False,
+                   compute_l1_max=False):
     """Pallas version of ``curl_3d`` (exact parity incl. zeroed ring).
 
     ``add_vector`` (3,) is an optional per-component constant added to every
     cell of the result - folding the free-stream update
     (flow_simulators_mpi_3d.py velocity += U_inf) into this pass saves a
-    full read+write of the velocity field."""
+    full read+write of the velocity field.
+
+    ``compute_l1_max=True`` additionally returns the global
+    ``max(|u_x|+|u_y|+|u_z|)`` of the result (the CFL control quantity),
+    reduced per plane inside the kernel - and returns ``(field, l1_max)``.
+    """
     _, nz, ny, nx = field.shape
     if not _plane_fits(field.shape, 3):
         out = _jnp_ops.curl_3d(field, prefactor)
         if add_vector is not None:
             out = out + add_vector[:, None, None, None]
+        if compute_l1_max:
+            return out, jnp.max(jnp.sum(jnp.abs(out), axis=0))
         return out
     prefac = jnp.asarray(prefactor, field.dtype).reshape(1, 1)
     if add_vector is None:
@@ -170,8 +196,20 @@ def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False):
         lambda i: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
         memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
-        _curl_kernel,
+    out_specs = [
+        pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    out_shape = [jax.ShapeDtypeStruct(field.shape, field.dtype)]
+    if compute_l1_max:
+        out_specs.append(
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nz, 1), field.dtype))
+    res = pl.pallas_call(
+        functools.partial(_curl_kernel, compute_l1_max),
         grid=(nz,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -180,12 +218,14 @@ def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False):
             plane(0),
             plane(+1),
         ],
-        out_specs=pl.BlockSpec(
-            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(field.shape, field.dtype),
+        out_specs=out_specs if compute_l1_max else out_specs[0],
+        out_shape=out_shape if compute_l1_max else out_shape[0],
         interpret=interpret,
     )(prefac, add, field, field, field)
+    if compute_l1_max:
+        velocity, plane_max = res
+        return velocity, jnp.max(plane_max)
+    return res
 
 
 def _rotational_kernel(prefac_ref, w_zm, w_c, w_zp, u_zm, u_c, u_zp, out_ref):
