@@ -172,6 +172,12 @@ def lagrangian_to_eulerian_spread(
     vector = lag_grid_field.ndim == 2
     grid_shape = eul_grid_field.shape[1:] if vector else eul_grid_field.shape
     idx = _support_gather_indices(support_idx, grid_shape)
+    # Cast marker-side data to the Eulerian field dtype at the boundary:
+    # the reference contract is float32 flow + float64 markers (SURVEY §7
+    # hard part 6), and a mixed-dtype scatter-add is a FutureWarning today
+    # and an error in future JAX.
+    lag_grid_field = lag_grid_field.astype(eul_grid_field.dtype)
+    interp_weights = interp_weights.astype(eul_grid_field.dtype)
     if vector:
         n_comp = lag_grid_field.shape[0]
         expand = (slice(None),) + (None,) * grid_dim
