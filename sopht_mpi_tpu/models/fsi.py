@@ -376,14 +376,20 @@ def scan_steps(step_fn, carry, n_steps: int, *, donate: bool = False):
     """Roll ``n_steps`` coupled steps on device; returns
     (final carry, stacked per-step diagnostics).
 
-    ``donate=True`` donates the carry: its buffers (fields AND the Fourier
-    Green's function riding in it) are reused for the result and the input
-    objects become invalid - including the solver-held greens array, so
-    only use it when the scan chain is the sole consumer. Without donation
-    the in and out carries coexist across the jit boundary, an extra
-    ~7 GB of HBM at 512^3."""
-    fn = _scan_steps_donated if donate else _scan_steps
-    return fn(step_fn, carry, n_steps)
+    ``donate=True`` donates the carry's field buffers; the Fourier Green's
+    function riding in the carry is EXCLUDED from donation (it is threaded
+    through every step unchanged and is the same buffer the flow solver
+    holds - donating it would invalidate any later host-side
+    ``flow_sim.time_step`` / ``solver.solve`` call far from the donation
+    site). Without donation the in and out carries coexist across the jit
+    boundary, an extra ~7 GB of HBM at 512^3."""
+    if not donate:
+        return _scan_steps(step_fn, carry, n_steps)
+    greens = carry.greens
+    final, diag = _scan_steps_donated(
+        step_fn, carry._replace(greens=None), greens, n_steps
+    )
+    return final._replace(greens=greens), diag
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -391,6 +397,12 @@ def _scan_steps(step_fn, carry, n_steps: int):
     return jax.lax.scan(lambda c, _: step_fn(c), carry, None, length=n_steps)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2), donate_argnums=1)
-def _scan_steps_donated(step_fn, carry, n_steps: int):
-    return jax.lax.scan(lambda c, _: step_fn(c), carry, None, length=n_steps)
+@functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+def _scan_steps_donated(step_fn, carry_sans_greens, greens, n_steps: int):
+    carry = carry_sans_greens._replace(greens=greens)
+    final, diag = jax.lax.scan(
+        lambda c, _: step_fn(c), carry, None, length=n_steps
+    )
+    # greens is carried through unchanged; drop it from the outputs so the
+    # caller re-attaches the original (un-donated) buffer.
+    return final._replace(greens=None), diag

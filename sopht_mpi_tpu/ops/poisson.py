@@ -56,6 +56,11 @@ def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
         and all(pallas_fft_supported(m) for m in doubled[:-1])
+        # The minor-axis r2c/c2r kernels hold O(mx^2) DFT matrices in VMEM
+        # (~8 MB at mx = 2048 -> scoped-vmem trace-time failure, not a
+        # fallback), so cap it like the middle axes. Reachable e.g. via a
+        # (512, 512, 1024) grid from flow_past_rod's CLI shape.
+        and doubled[-1] <= 1024
     ):
         return False
     bulk = doubled[-1] // 2
@@ -317,21 +322,31 @@ class UnboundedPoissonSolver2D:
         h = jnp.asarray(greens_half)
         nd = h.ndim
 
+        # Per-axis DCT matrices M[n, k] = w_n cos(pi n k / N) built
+        # HOST-SIDE in float64 then cast: at N = 512 the angle reaches
+        # ~1.6e3 rad, where float32 argument rounding costs ~1e-4 per
+        # cosine entry - the O(N^2) matrices are tiny, only the O(N^3)
+        # contraction belongs on device.
+        dct_mats = []
+        for ax in range(nd):
+            n_half = greens_half.shape[ax]  # N + 1
+            n = np.arange(n_half, dtype=np.float64)[:, None]
+            k = np.arange(n_half, dtype=np.float64)[None, :]
+            mat = np.cos(np.pi * n * k / (n_half - 1))
+            w = np.full((n_half, 1), 2.0)
+            w[0, 0] = 1.0
+            w[-1, 0] = 1.0
+            dct_mats.append(jnp.asarray(w * mat, dtype=dtype))
+
         @jax.jit
         def build(h):
             # per-axis symmetric DFT: contract axis `ax` (size N+1) against
             # M[n, k] = w_n cos(pi n k / N), w = (1, 2, ..., 2, 1); output
             # k in [0, N] (the even-symmetric half)
             for ax in range(nd):
-                n_half = h.shape[ax]  # N + 1
-                n = jnp.arange(n_half, dtype=dtype)[:, None]
-                k = jnp.arange(n_half, dtype=dtype)[None, :]
-                mat = jnp.cos(jnp.pi * n * k / (n_half - 1))
-                w = jnp.full((n_half, 1), 2.0, dtype)
-                w = w.at[0].set(1.0).at[-1].set(1.0)
                 h = jnp.moveaxis(
                     jnp.tensordot(
-                        jnp.moveaxis(h, ax, -1), w * mat, axes=1,
+                        jnp.moveaxis(h, ax, -1), dct_mats[ax], axes=1,
                         precision=jax.lax.Precision.HIGHEST,
                     ),
                     -1, ax,
