@@ -229,8 +229,13 @@ if __name__ == "__main__":
     p.add_argument("--n-devices", type=int, default=1)
     p.add_argument("--plot", action="store_true")
     p.add_argument(
-        "--fused", action="store_true",
-        help="run the whole coupled loop as one on-device lax.scan",
+        "--fused", action="store_true", default=True,
+        help="run the whole coupled loop as one on-device lax.scan "
+        "(the default; host loops are dispatch-latency-bound on a remote TPU)",
+    )
+    p.add_argument(
+        "--host-loop", dest="fused", action="store_false",
+        help="host-driven eager loop (CPU debugging)",
     )
     args = p.parse_args()
 

@@ -256,8 +256,13 @@ if __name__ == "__main__":
     parser.add_argument("--precision", default="single")
     parser.add_argument("--save-flow-data", action="store_true")
     parser.add_argument(
-        "--fused", action="store_true",
-        help="run the whole coupled loop as one on-device lax.scan",
+        "--fused", action="store_true", default=True,
+        help="run the whole coupled loop as one on-device lax.scan "
+        "(the default; host loops are dispatch-latency-bound on a remote TPU)",
+    )
+    parser.add_argument(
+        "--host-loop", dest="fused", action="store_false",
+        help="host-driven eager loop (CPU debugging)",
     )
     args = parser.parse_args()
 

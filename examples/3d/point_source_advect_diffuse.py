@@ -142,7 +142,15 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--save-data", action="store_true")
-    parser.add_argument("--fused", action="store_true")
+    parser.add_argument(
+        "--fused", action="store_true", default=True,
+        help="device-scanned fused loop (the default; host loops are "
+        "dispatch-latency-bound on a remote TPU)",
+    )
+    parser.add_argument(
+        "--host-loop", dest="fused", action="store_false",
+        help="host-driven eager loop (CPU debugging)",
+    )
     args = parser.parse_args()
 
     mesh = None
