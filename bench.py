@@ -10,11 +10,13 @@ recovery), rolled out with a single on-device ``lax.scan`` - the
 north-star configuration of BASELINE.json ("3D 256^3 FSI
 Mcell-updates/sec/chip").
 
-The reference publishes no numbers (BASELINE.md); vs_baseline is measured
-against an estimated 64-rank CPU MPI wall-time/step for the same config of
-1.0 s/step (O(10^8) cell-stencil+FFT work / step; see BASELINE.md for the
-measurement obligation). Until the reference is re-run, this scale factor
-is recorded explicitly here so the judge can re-derive it.
+The reference publishes no numbers (BASELINE.md), and its MPI stack cannot
+be provisioned here (no mpi4py/FFTW/pystencils, no egress), so vs_baseline
+uses a MEASURED proxy: the same fused FSI step timed on the host CPU via
+XLA at 64^3/128^3/256^3 (doc/baseline_cpu_measurement.py, results in
+doc/baseline_cpu_measured.json: 33.88 s/step at 256^3 on 1 core), scaled
+by an IDEAL 64-rank speedup (generous to the reference) ->
+0.529 s/step at 256^3. See BASELINE.md for the derivation.
 """
 
 import json
@@ -23,8 +25,27 @@ import time
 
 GRID = int(os.environ.get("BENCH_GRID", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
-# assumed wall-time/step of the 64-rank CPU MPI reference at 256^3 FSI
-BASELINE_SEC_PER_STEP = 1.0
+
+
+def _baseline_sec_per_step() -> float:
+    """Measured-CPU-derived 64-rank baseline at 256^3 (see module docstring);
+    read from the measurement artifact so the number and its provenance
+    stay in one place."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "doc",
+        "baseline_cpu_measured.json",
+    )
+    try:
+        with open(path) as f:
+            return float(
+                json.load(f)["derived_baseline_sec_per_step_256cubed_64rank"]
+            )
+    except (OSError, KeyError, ValueError):
+        return 0.5293  # the recorded measurement, inlined as fallback
+
+
+BASELINE_SEC_PER_STEP = _baseline_sec_per_step()
 
 
 def main():

@@ -1,0 +1,73 @@
+"""Measured CPU baseline for bench.py's ``vs_baseline`` (BASELINE.md:21-24).
+
+The reference MPI stack (mpi4py + FFTW/mpi4py-fft + pystencils + sopht)
+cannot be provisioned in this environment (no egress, no preinstalled MPI),
+so per the BASELINE.md fallback this script measures THIS repo's own
+XLA-CPU path -- the same fused flow-past-sphere FSI step bench.py times on
+TPU -- on the host CPU at 64^3 / 128^3 / 256^3, and derives the 64-rank
+CPU reference wall-time/step at 256^3 under an IDEAL linear-scaling
+assumption (64x speedup over one core, zero MPI overhead), which is
+strictly generous to the reference.
+
+Run:  python doc/baseline_cpu_measurement.py
+Writes doc/baseline_cpu_measured.json; bench.py's BASELINE_SEC_PER_STEP
+must match the derived value there.
+"""
+
+import json
+import os
+import platform
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def measure(grid, steps):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _build_fsi_case
+    from sopht_mpi_tpu.models import scan_steps
+
+    fsi_step, (carry,) = _build_fsi_case(grid_size=(grid, grid, grid))
+    # warmup/compile
+    carry, _ = scan_steps(fsi_step, carry, 1, donate=True)
+    jax.block_until_ready(carry)
+    t0 = time.perf_counter()
+    carry, _ = scan_steps(fsi_step, carry, steps, donate=True)
+    jax.block_until_ready(carry)
+    t1 = time.perf_counter()
+    return (t1 - t0) / steps
+
+
+def main():
+    ncores = os.cpu_count()
+    results = {}
+    for grid, steps in ((64, 5), (128, 3), (256, 2)):
+        sec = measure(grid, steps)
+        results[grid] = sec
+        print(f"{grid}^3: {sec:.3f} s/step ({grid**3 / sec / 1e6:.2f} Mcells/s)")
+
+    sec_256_1core = results[256]
+    ranks = 64
+    derived = sec_256_1core / ranks  # ideal scaling, generous to the reference
+    out = {
+        "host": platform.processor() or platform.machine(),
+        "cpu_model": "Intel Xeon @ 2.10GHz (1 core visible)",
+        "n_cores": ncores,
+        "backend": "XLA CPU (this repo's jnp path, same fused FSI step as bench.py)",
+        "measured_sec_per_step_1core": {str(g): round(s, 4) for g, s in results.items()},
+        "assumed_ranks": ranks,
+        "scaling_assumption": "ideal linear (64x over 1 core, zero comm overhead)",
+        "derived_baseline_sec_per_step_256cubed_64rank": round(derived, 4),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_cpu_measured.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
