@@ -167,10 +167,16 @@ def flow_past_sphere_fused_case(
     coupling_damping=-3.5e2 / 4,
     precision="single",
     window=100,
+    save_interval=None,
 ):
     """Same physics, whole coupled loop as one on-device ``lax.scan``
     (models/fsi.py). Validated drag: Cd = 1.305 (64^3) / 1.224 (128^3) at
-    Re=100 (doc/validation_sphere_re100_drag_128.csv)."""
+    Re=100 (doc/validation_sphere_re100_drag_128.csv).
+
+    ``save_interval`` (in nondimensional time t*) snapshots the vorticity
+    and velocity fields at scan-window boundaries through the native async
+    dump writer - the TPU analogue of the reference's in-loop MPIIO saves
+    (flow_past_sphere_case.py:129-139) that never blocks the device queue."""
     import jax
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -233,6 +239,13 @@ def flow_past_sphere_fused_case(
     )
     timescale = sphere_diameter / far_field_velocity
     t_end = nondim_time * timescale
+    snaps = None
+    if save_interval is not None:
+        from sopht_mpi_tpu.utils import SnapshotWriter
+
+        snaps = SnapshotWriter(
+            interval=save_interval * timescale, out_dir="snapshots"
+        )
     times, drag_coeffs = [], []
     while float(carry.time) < t_end:
         carry, lag_forces = scan_steps(step, carry, window, donate=True)
@@ -241,10 +254,23 @@ def flow_past_sphere_fused_case(
         times.append(float(carry.time) / timescale)
         drag_coeffs.append(cd)
         logger.info(f"t*={times[-1]:.2f} Cd={cd:.4f}")
+        if snaps is not None:
+            snaps.maybe_save(
+                float(carry.time),
+                vorticity=carry.flow_state.primary_field,
+                velocity=carry.flow_state.velocity_field,
+            )
         # write incrementally: long large-grid runs can be interrupted
         np.savetxt(
             "drag_vs_time.csv", np.c_[times, drag_coeffs], delimiter=","
         )
+    if snaps is not None:
+        snaps.flush()
+        logger.info(
+            f"wrote {snaps.n_saved} snapshots to snapshots/ "
+            f"(native={snaps.is_native}, failed={snaps.failed()})"
+        )
+        snaps.close()
     return times, drag_coeffs
 
 
@@ -255,6 +281,11 @@ if __name__ == "__main__":
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
     parser.add_argument("--save-flow-data", action="store_true")
+    parser.add_argument(
+        "--save-interval", type=float, default=None,
+        help="snapshot vorticity+velocity every this many t* through the "
+        "native async dump writer (fused loop)",
+    )
     parser.add_argument(
         "--fused", action="store_true", default=True,
         help="run the whole coupled loop as one on-device lax.scan "
@@ -277,6 +308,7 @@ if __name__ == "__main__":
             nondim_time=args.nondim_time,
             grid_size=(n, n, n),
             precision=args.precision,
+            save_interval=args.save_interval,
         )
         raise SystemExit(0)
     flow_past_sphere_case(

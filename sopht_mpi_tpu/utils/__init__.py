@@ -15,4 +15,5 @@ from sopht_mpi_tpu.utils.io import (
     save_rod_state,
 )
 from sopht_mpi_tpu.utils.native_io import AsyncFieldDumper
+from sopht_mpi_tpu.utils.snapshots import SnapshotWriter
 from sopht_mpi_tpu.utils.profiling import block_timer, measure_op_time

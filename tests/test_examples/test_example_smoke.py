@@ -42,3 +42,29 @@ def test_fused_cylinder_example_runs(tmp_path, monkeypatch):
     )
     assert len(times) > 0
     assert np.isfinite(cds).all()
+
+
+def test_fused_sphere_snapshots(tmp_path, monkeypatch):
+    """--save-interval integration: the fused sphere loop writes .npy
+    snapshots through the async dump writer at window boundaries
+    (reference counterpart: in-loop MPIIO saves,
+    flow_past_sphere_case.py:129-139)."""
+    monkeypatch.chdir(tmp_path)
+    from flow_past_sphere import flow_past_sphere_fused_case
+
+    times, cds = flow_past_sphere_fused_case(
+        nondim_time=0.6,
+        grid_size=(16, 16, 16),
+        window=10,
+        save_interval=0.2,
+    )
+    snaps = sorted((tmp_path / "snapshots").glob("vorticity_*.npy"))
+    vels = sorted((tmp_path / "snapshots").glob("velocity_*.npy"))
+    assert len(snaps) >= 2 and len(vels) == len(snaps)
+    arr = np.load(snaps[-1])
+    assert arr.shape == (3, 16, 16, 16)
+    assert np.isfinite(arr).all()
+    manifest = np.loadtxt(
+        tmp_path / "snapshots" / "times.csv", delimiter=",", skiprows=1
+    )
+    assert manifest.reshape(-1, 2).shape[0] == len(snaps)
