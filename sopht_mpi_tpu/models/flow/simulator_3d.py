@@ -107,6 +107,9 @@ class UnboundedFlowSimulator3D:
                 "Free stream flow not defined for passive advection diffusion!"
             )
         self.penalty_zone_width = kwargs.get("penalty_zone_width", 2)
+        # None = auto (Pallas streaming stencils on real unsharded TPU);
+        # tests force True to exercise the kernels in interpret mode on CPU
+        self.use_pallas = kwargs.get("use_pallas", None)
         self.filter_setting_dict = kwargs.get(
             "filter_setting_dict", {"order": 2, "type": "multiplicative"}
         ) or {"order": 2, "type": "multiplicative"}
@@ -194,7 +197,11 @@ class UnboundedFlowSimulator3D:
             poisson_solver=getattr(self, "unbounded_poisson_solver", None),
             # Pallas plane-streaming kernels for the hot NS stencils: only
             # on real TPU with unsharded fields (the jnp ops handle SPMD)
-            use_pallas=(jax.default_backend() == "tpu" and self.mesh is None),
+            use_pallas=(
+                (jax.default_backend() == "tpu" and self.mesh is None)
+                if self.use_pallas is None
+                else self.use_pallas
+            ),
         )
 
         def step(

@@ -91,7 +91,7 @@ def _diffusion_kernel(prefac_ref, f_zm, f_c, f_zp, out_ref):
     out_ref[:, 0] = c + flux
 
 
-def diffusion_timestep_vector_3d_pallas(vector_field, nu_dt_by_dx2, *, interpret=False):
+def _diffusion_timestep_vector_3d_impl(vector_field, nu_dt_by_dx2, interpret):
     """Pallas version of ``diffusion_timestep_vector_3d`` (exact parity)."""
     _, nz, ny, nx = vector_field.shape
     if not _plane_fits(vector_field.shape, 3):
@@ -166,8 +166,7 @@ def _curl_kernel(with_l1max, prefac_ref, add_ref, f_zm, f_c, f_zp, *out_refs):
         max_ref[pl.dslice(i % 8, 1), :] = m.reshape(1, 1)
 
 
-def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=False,
-                   compute_l1_max=False):
+def _curl_3d_impl(field, prefactor, add_vector, interpret, compute_l1_max):
     """Pallas version of ``curl_3d`` (exact parity incl. zeroed ring).
 
     ``add_vector`` (3,) is an optional per-component constant added to every
@@ -250,9 +249,7 @@ def _rotational_kernel(prefac_ref, w_zm, w_c, w_zp, u_zm, u_c, u_zp, out_ref):
     out_ref[:, 0] = w_c[:, 0] + jnp.where(on_z_wall, 0.0, 1.0) * curl
 
 
-def rotational_curl_add_3d_pallas(
-    vorticity, velocity, prefactor, *, interpret=False
-):
+def _rotational_curl_add_3d_impl(vorticity, velocity, prefactor, interpret):
     """Fused rotational-form transport: ``w + prefac * curl(u x w)``
     (= ``update_vorticity_from_velocity_forcing_3d(w, cross_product_3d(u, w),
     prefac)``) in one streaming pass."""
@@ -283,3 +280,118 @@ def rotational_curl_add_3d_pallas(
         out_shape=jax.ShapeDtypeStruct(vorticity.shape, vorticity.dtype),
         interpret=interpret,
     )(prefac, vorticity, vorticity, vorticity, velocity, velocity, velocity)
+
+
+# ---------------------------------------------------------------------------
+# reverse-mode rules
+#
+# The streaming kernels match their jnp counterparts exactly (parity
+# tests), so each public entry point is a jax.custom_vjp whose primal is
+# the Pallas kernel and whose backward pass is the VJP of the identical
+# jnp formulation - jax.grad flows through the TPU production step.
+# ---------------------------------------------------------------------------
+
+
+_diffusion_vjp = jax.custom_vjp(
+    _diffusion_timestep_vector_3d_impl, nondiff_argnums=(2,)
+)
+
+
+def _diffusion_fwd(v, p, interpret):
+    return _diffusion_timestep_vector_3d_impl(v, p, interpret), (v, p)
+
+
+def _diffusion_bwd(interpret, res, ct):
+    v, p = res
+    _, vjp = jax.vjp(_jnp_ops.diffusion_timestep_vector_3d, v, p)
+    return vjp(ct)
+
+
+_diffusion_vjp.defvjp(_diffusion_fwd, _diffusion_bwd)
+
+
+def diffusion_timestep_vector_3d_pallas(vector_field, nu_dt_by_dx2, *, interpret=None):
+    """Pallas ``diffusion_timestep_vector_3d`` (exact parity), with a VJP
+    via the jnp formulation. ``interpret=None`` auto-selects interpret mode
+    off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _diffusion_vjp(vector_field, nu_dt_by_dx2, interpret)
+
+
+def _curl_ref(field, prefactor, add_vector, compute_l1_max):
+    out = _jnp_ops.curl_3d(field, prefactor)
+    out = out + add_vector[:, None, None, None]
+    if compute_l1_max:
+        return out, jnp.max(jnp.sum(jnp.abs(out), axis=0))
+    return out
+
+
+_curl_vjp = jax.custom_vjp(_curl_3d_impl, nondiff_argnums=(3, 4))
+
+
+def _curl_fwd(field, prefactor, add_vector, interpret, compute_l1_max):
+    return (
+        _curl_3d_impl(field, prefactor, add_vector, interpret, compute_l1_max),
+        (field, prefactor, add_vector),
+    )
+
+
+def _curl_bwd(interpret, compute_l1_max, res, ct):
+    field, prefactor, add_vector = res
+    _, vjp = jax.vjp(
+        lambda f, p, a: _curl_ref(f, p, a, compute_l1_max),
+        field, prefactor, add_vector,
+    )
+    return vjp(ct)
+
+
+_curl_vjp.defvjp(_curl_fwd, _curl_bwd)
+
+
+def curl_3d_pallas(field, prefactor, add_vector=None, *, interpret=None,
+                   compute_l1_max=False):
+    """Pallas ``curl_3d`` with optional fused free-stream add and in-kernel
+    CFL ``max|u|_1`` reduction (exact parity), with a VJP via the jnp
+    formulation. See ``_curl_3d_impl`` for the kernel details."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if add_vector is None:
+        add_vector = jnp.zeros(3, field.dtype)
+    return _curl_vjp(field, prefactor, add_vector, interpret, compute_l1_max)
+
+
+def _rotational_ref(w, u, p):
+    from sopht_mpi_tpu.ops.elementwise import cross_product_3d
+
+    return _jnp_ops.update_vorticity_from_velocity_forcing_3d(
+        w, cross_product_3d(u, w), p
+    )
+
+
+_rotational_vjp = jax.custom_vjp(
+    _rotational_curl_add_3d_impl, nondiff_argnums=(3,)
+)
+
+
+def _rotational_fwd(w, u, p, interpret):
+    return _rotational_curl_add_3d_impl(w, u, p, interpret), (w, u, p)
+
+
+def _rotational_bwd(interpret, res, ct):
+    w, u, p = res
+    _, vjp = jax.vjp(_rotational_ref, w, u, p)
+    return vjp(ct)
+
+
+_rotational_vjp.defvjp(_rotational_fwd, _rotational_bwd)
+
+
+def rotational_curl_add_3d_pallas(
+    vorticity, velocity, prefactor, *, interpret=None
+):
+    """Fused rotational-form transport ``w + prefac * curl(u x w)`` (exact
+    parity with the jnp composition), with a VJP via that composition."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _rotational_vjp(vorticity, velocity, prefactor, interpret)

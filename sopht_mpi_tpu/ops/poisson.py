@@ -41,6 +41,11 @@ from sopht_mpi_tpu.parallel.fft import (
 # monolithically padded cube, which is the entire cost of the solve on TPU.
 
 
+# Tests may force the Pallas convolve on non-TPU backends (the kernels run
+# in interpret mode there): None = auto (TPU only), True/False = override.
+FORCE_PALLAS_CONVOLVE: bool | None = None
+
+
 def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
     """Fast fused Pallas path: TPU backend, float32, supported axis sizes
     AND every pass's lane batch admits a valid Mosaic tile. The middle
@@ -52,8 +57,13 @@ def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
         pass_tile_ok,
     )
 
-    if not (
+    backend_ok = (
         jax.default_backend() == "tpu"
+        if FORCE_PALLAS_CONVOLVE is None
+        else FORCE_PALLAS_CONVOLVE
+    )
+    if not (
+        backend_ok
         and np.dtype(dtype) == np.float32
         and all(pallas_fft_supported(m) for m in doubled[:-1])
         # The minor-axis r2c/c2r kernels hold O(mx^2) DFT matrices in VMEM

@@ -205,7 +205,7 @@ def conv_pass_tile_ok(b: int, m: int) -> bool:
     return _pick_btile(b, _conv_budget(m)) is not None
 
 
-def fft_pass_padded(xr, xi, axis_len_out: int):
+def _fft_pass_padded_impl(xr, xi, axis_len_out: int):
     """Forward padded FFT along the MIDDLE axis of (A, L, B) float32 pairs:
     input L = m/2 (zero-padded semantics), output L = m = axis_len_out."""
     m = axis_len_out
@@ -240,7 +240,7 @@ def fft_pass_padded(xr, xi, axis_len_out: int):
     )(jnp.asarray(p1), jnp.asarray(pa), xr4, xi4)
 
 
-def ifft_pass_truncated(xr, xi, greens=None):
+def _ifft_pass_truncated_impl(xr, xi, greens=None):
     """Inverse FFT along the MIDDLE axis of (A, m, B) float32 pairs,
     keeping the first m/2 outputs. ``greens`` (float32, shape (A, m, B) or
     (1, m, B)) is an optional real spectral multiplier folded into the
@@ -319,7 +319,7 @@ def _conv_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, g_ref,
     oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
 
 
-def fft_greens_ifft_pass(xr, xi, greens):
+def _fft_greens_ifft_pass_impl(xr, xi, greens):
     """Fused ``ifft_pass_truncated(*fft_pass_padded(xr, xi, m), greens)``
     along the MIDDLE axis of (A, m/2, B) float32 pairs. ``greens`` is the
     real multiplier, shape (1, m, B) (one copy shared across A blocks).
@@ -423,7 +423,7 @@ def _pick_rtile(r: int) -> int:
     return r
 
 
-def rfft_pass_padded(x, m: int):
+def _rfft_pass_padded_impl(x, m: int):
     """r2c of the MINOR axis of a real 2D view (R, n_in), zero-padded to m.
     Returns split (R, m/2+1) float32 pairs. Lane-contraction matmul: the
     transform axis is already minor, so the MXU contracts at full width."""
@@ -450,7 +450,7 @@ def rfft_pass_padded(x, m: int):
     )(jnp.asarray(c), jnp.asarray(s), x)
 
 
-def irfft_pass_truncated(xr, xi, m: int, n_out: int):
+def _irfft_pass_truncated_impl(xr, xi, m: int, n_out: int):
     """c2r of the MINOR axis from split (R, m/2+1) pairs, keeping the first
     ``n_out`` real outputs of the length-m inverse."""
     r_dim, fx = xr.shape
@@ -491,7 +491,7 @@ def _c2r_merge_kernel(cwb_ref, swb_ref, cws_ref, sws_ref,
     )
 
 
-def rfft_pass_padded_split(x, m: int):
+def _rfft_pass_padded_split_impl(x, m: int):
     """r2c of the MINOR axis of a real 2D view (R, n_in), zero-padded to m,
     with the Nyquist column split off: returns
     ``(bulk_r, bulk_i, side_r, side_i)`` of shapes (R, m/2) and (R, 1)."""
@@ -519,7 +519,7 @@ def rfft_pass_padded_split(x, m: int):
     )(jnp.asarray(cb), jnp.asarray(sb), jnp.asarray(cs), jnp.asarray(ss), x)
 
 
-def irfft_pass_merge(br, bi, sr, si, m: int, n_out: int):
+def _irfft_pass_merge_impl(br, bi, sr, si, m: int, n_out: int):
     """c2r of the MINOR axis from split bulk (R, m/2) / Nyquist (R, 1)
     float32 pairs, keeping the first ``n_out`` real outputs."""
     r_dim, mh = br.shape
@@ -558,3 +558,238 @@ def pallas_fft_supported(m: int) -> bool:
     (doubled, i.e. grids beyond 512 cells/axis) take the einsum path."""
     m1, m2 = _best_factors(m)
     return 64 <= m <= 1024 and m1 >= 4 and m2 % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# reverse-mode rules
+#
+# The pass kernels are (bi)linear maps; Pallas kernels define no transpose
+# rules, so each public entry point is a jax.custom_vjp whose primal is the
+# fused kernel and whose backward pass is the ANALYTIC adjoint expressed
+# with jnp.fft (XLA path). This makes jax.grad flow through the production
+# Poisson pipeline (the repo-advertised differentiability the reference
+# cannot offer; VJP math: real inner product <.,.>_R, adjoint of y = A x is
+# x_ct = A^H ct, with zero-padding adjoint = truncation and vice versa).
+# Primal inputs ride the residuals only for their static shapes (and for
+# the bilinear greens cotangents); XLA DCEs unused residual data.
+# ---------------------------------------------------------------------------
+
+
+def _c_(r, i):
+    return r + 1j * i
+
+
+def _ri(z, like):
+    return jnp.real(z).astype(like.dtype), jnp.imag(z).astype(like.dtype)
+
+
+def _pad_mid(z, m):
+    return jnp.pad(z, ((0, 0), (0, m - z.shape[1]), (0, 0)))
+
+
+_fft_pass_padded_vjp = jax.custom_vjp(_fft_pass_padded_impl, nondiff_argnums=(2,))
+
+
+def _fft_pass_padded_fwd(xr, xi, m):
+    return _fft_pass_padded_impl(xr, xi, m), None
+
+
+def _fft_pass_padded_bwd(m, _, ct):
+    ctr, cti = ct
+    x_ct = m * jnp.fft.ifft(_c_(ctr, cti), axis=1)[:, : m // 2]
+    return _ri(x_ct, ctr)
+
+
+_fft_pass_padded_vjp.defvjp(_fft_pass_padded_fwd, _fft_pass_padded_bwd)
+
+
+def fft_pass_padded(xr, xi, axis_len_out: int):
+    return _fft_pass_padded_vjp(xr, xi, axis_len_out)
+
+
+fft_pass_padded.__doc__ = _fft_pass_padded_impl.__doc__
+
+
+def _ifft_pass_truncated_p(xr, xi, greens):
+    return _ifft_pass_truncated_impl(xr, xi, greens)
+
+
+_ifft_pass_truncated_vjp = jax.custom_vjp(_ifft_pass_truncated_p)
+
+
+def _ifft_pass_truncated_fwd(xr, xi, greens):
+    return _ifft_pass_truncated_impl(xr, xi, greens), (xr, xi, greens)
+
+
+def _ifft_pass_truncated_bwd(res, ct):
+    xr, xi, greens = res
+    ctr, cti = ct
+    m = xr.shape[1]
+    # adjoint of trunc . ifft: q = (1/m) fft(pad(ct))
+    q = jnp.fft.fft(_pad_mid(_c_(ctr, cti), m), axis=1) / m
+    if greens is None:
+        return (*_ri(q, xr), None)
+    x_ct = q * greens
+    g_ct = jnp.real(jnp.conj(_c_(xr, xi)) * q)
+    if greens.shape[0] == 1 and xr.shape[0] != 1:
+        g_ct = jnp.sum(g_ct, axis=0, keepdims=True)
+    return (*_ri(x_ct, xr), g_ct.astype(greens.dtype))
+
+
+_ifft_pass_truncated_vjp.defvjp(_ifft_pass_truncated_fwd, _ifft_pass_truncated_bwd)
+
+
+def ifft_pass_truncated(xr, xi, greens=None):
+    return _ifft_pass_truncated_vjp(xr, xi, greens)
+
+
+ifft_pass_truncated.__doc__ = _ifft_pass_truncated_impl.__doc__
+
+
+_fft_greens_ifft_pass_vjp = jax.custom_vjp(_fft_greens_ifft_pass_impl)
+
+
+def _fft_greens_ifft_pass_fwd(xr, xi, greens):
+    return _fft_greens_ifft_pass_impl(xr, xi, greens), (xr, xi, greens)
+
+
+def _fft_greens_ifft_pass_bwd(res, ct):
+    xr, xi, greens = res
+    ctr, cti = ct
+    l = xr.shape[1]
+    m = 2 * l
+    # y = trunc . ifft . D_g . fft . pad  is self-adjoint up to the same
+    # composition: x_ct = trunc(ifft(g * fft(pad(ct))))
+    ctf = jnp.fft.fft(_pad_mid(_c_(ctr, cti), m), axis=1)
+    x_ct = jnp.fft.ifft(greens * ctf, axis=1)[:, :l]
+    # bilinear part: g_ct = Re(conj(fft(pad(x))) * (1/m) fft(pad(ct)))
+    s = jnp.fft.fft(_pad_mid(_c_(xr, xi), m), axis=1)
+    g_ct = jnp.real(jnp.conj(s) * ctf) / m
+    if greens.shape[0] == 1 and xr.shape[0] != 1:
+        g_ct = jnp.sum(g_ct, axis=0, keepdims=True)
+    return (*_ri(x_ct, xr), g_ct.astype(greens.dtype))
+
+
+_fft_greens_ifft_pass_vjp.defvjp(_fft_greens_ifft_pass_fwd, _fft_greens_ifft_pass_bwd)
+
+
+def fft_greens_ifft_pass(xr, xi, greens):
+    return _fft_greens_ifft_pass_vjp(xr, xi, greens)
+
+
+fft_greens_ifft_pass.__doc__ = _fft_greens_ifft_pass_impl.__doc__
+
+
+_rfft_pass_padded_vjp = jax.custom_vjp(_rfft_pass_padded_impl, nondiff_argnums=(1,))
+
+
+def _rfft_pass_padded_fwd(x, m):
+    return _rfft_pass_padded_impl(x, m), x
+
+
+def _rfft_pass_padded_bwd(m, x, ct):
+    ctr, cti = ct
+    n_in = x.shape[1]
+    z = jnp.pad(_c_(ctr, cti), ((0, 0), (0, m - ctr.shape[1])))
+    return (jnp.real(m * jnp.fft.ifft(z, axis=1))[:, :n_in].astype(x.dtype),)
+
+
+_rfft_pass_padded_vjp.defvjp(_rfft_pass_padded_fwd, _rfft_pass_padded_bwd)
+
+
+def rfft_pass_padded(x, m: int):
+    return _rfft_pass_padded_vjp(x, m)
+
+
+rfft_pass_padded.__doc__ = _rfft_pass_padded_impl.__doc__
+
+
+def _c2r_ct_weights(m, fx, dtype):
+    w = np.full((1, fx), 2.0, dtype=np.float64)
+    w[0, 0] = 1.0
+    w[0, -1] = 1.0
+    return jnp.asarray(w / m, dtype)
+
+
+_irfft_pass_truncated_vjp = jax.custom_vjp(
+    _irfft_pass_truncated_impl, nondiff_argnums=(2, 3)
+)
+
+
+def _irfft_pass_truncated_fwd(xr, xi, m, n_out):
+    return _irfft_pass_truncated_impl(xr, xi, m, n_out), None
+
+
+def _irfft_pass_truncated_bwd(m, n_out, _, ct):
+    fx = m // 2 + 1
+    F = jnp.fft.fft(jnp.pad(ct.astype(jnp.complex64), ((0, 0), (0, m - n_out))), axis=1)[:, :fx]
+    w = _c2r_ct_weights(m, fx, ct.dtype)
+    return (w * jnp.real(F)).astype(ct.dtype), (w * jnp.imag(F)).astype(ct.dtype)
+
+
+_irfft_pass_truncated_vjp.defvjp(_irfft_pass_truncated_fwd, _irfft_pass_truncated_bwd)
+
+
+def irfft_pass_truncated(xr, xi, m: int, n_out: int):
+    return _irfft_pass_truncated_vjp(xr, xi, m, n_out)
+
+
+irfft_pass_truncated.__doc__ = _irfft_pass_truncated_impl.__doc__
+
+
+_rfft_pass_padded_split_vjp = jax.custom_vjp(
+    _rfft_pass_padded_split_impl, nondiff_argnums=(1,)
+)
+
+
+def _rfft_pass_padded_split_fwd(x, m):
+    return _rfft_pass_padded_split_impl(x, m), x
+
+
+def _rfft_pass_padded_split_bwd(m, x, ct):
+    br, bi, sr, si = ct
+    n_in = x.shape[1]
+    z = jnp.concatenate([_c_(br, bi), _c_(sr, si)], axis=1)  # (R, m/2+1)
+    z = jnp.pad(z, ((0, 0), (0, m - z.shape[1])))
+    return (jnp.real(m * jnp.fft.ifft(z, axis=1))[:, :n_in].astype(x.dtype),)
+
+
+_rfft_pass_padded_split_vjp.defvjp(
+    _rfft_pass_padded_split_fwd, _rfft_pass_padded_split_bwd
+)
+
+
+def rfft_pass_padded_split(x, m: int):
+    return _rfft_pass_padded_split_vjp(x, m)
+
+
+rfft_pass_padded_split.__doc__ = _rfft_pass_padded_split_impl.__doc__
+
+
+_irfft_pass_merge_vjp = jax.custom_vjp(
+    _irfft_pass_merge_impl, nondiff_argnums=(4, 5)
+)
+
+
+def _irfft_pass_merge_fwd(br, bi, sr, si, m, n_out):
+    return _irfft_pass_merge_impl(br, bi, sr, si, m, n_out), None
+
+
+def _irfft_pass_merge_bwd(m, n_out, _, ct):
+    fx = m // 2 + 1
+    mh = m // 2
+    F = jnp.fft.fft(jnp.pad(ct.astype(jnp.complex64), ((0, 0), (0, m - n_out))), axis=1)[:, :fx]
+    w = _c2r_ct_weights(m, fx, ct.dtype)
+    xr_ct = (w * jnp.real(F)).astype(ct.dtype)
+    xi_ct = (w * jnp.imag(F)).astype(ct.dtype)
+    return (xr_ct[:, :mh], xi_ct[:, :mh], xr_ct[:, mh:], xi_ct[:, mh:])
+
+
+_irfft_pass_merge_vjp.defvjp(_irfft_pass_merge_fwd, _irfft_pass_merge_bwd)
+
+
+def irfft_pass_merge(br, bi, sr, si, m: int, n_out: int):
+    return _irfft_pass_merge_vjp(br, bi, sr, si, m, n_out)
+
+
+irfft_pass_merge.__doc__ = _irfft_pass_merge_impl.__doc__
