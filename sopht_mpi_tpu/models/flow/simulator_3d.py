@@ -399,19 +399,26 @@ def flow_step_3d(
         if use_pallas:
             from sopht_mpi_tpu.ops.pallas_stencils_3d import (
                 diffusion_timestep_vector_3d_pallas,
+                laplacian_filter_vector_3d_pallas,
                 rotational_curl_add_3d_pallas,
             )
 
             field = rotational_curl_add_3d_pallas(field, velocity, pref)
             field = diffusion_timestep_vector_3d_pallas(field, nu_dt_by_dx2)
+            if filter_order > 0:
+                field = laplacian_filter_vector_3d_pallas(
+                    field, filter_order, filter_type
+                )
         else:
             velocity_cross_vorticity = cross_product_3d(velocity, field)
             field = update_vorticity_from_velocity_forcing_3d(
                 field, velocity_cross_vorticity, pref
             )
             field = diffusion_timestep_vector_3d(field, nu_dt_by_dx2)
-        if filter_order > 0:
-            field = laplacian_filter_vector_3d(field, filter_order, filter_type)
+            if filter_order > 0:
+                field = laplacian_filter_vector_3d(
+                    field, filter_order, filter_type
+                )
         res = compute_flow_velocity_3d(
             field,
             free_stream_velocity,

@@ -395,3 +395,245 @@ def rotational_curl_add_3d_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _rotational_vjp(vorticity, velocity, prefactor, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Laplacian (vorticity-stabilisation) filter
+# (= stencils_3d.laplacian_filter_vector_3d; reference
+# laplacian_filter_mpi_3d.py:14-421). The jnp path runs 3 shifted-slice
+# passes per directional high-pass; these kernels stream one z-plane per
+# grid step and apply a whole filter application (multiplicative
+# H_z H_y H_x with the per-pass wall clearing, or a k-fold directional
+# pass) with exactly one HBM read + write of the field.
+# ---------------------------------------------------------------------------
+
+
+def _hp_x(p):
+    """0.25 (2f - f[x+1] - f[x-1]) interior in x, zero at the x edges, of a
+    (3, ny, nx) plane stack."""
+    inner = 0.25 * (2.0 * p[:, :, 1:-1] - p[:, :, 2:] - p[:, :, :-2])
+    return jnp.pad(inner, ((0, 0), (0, 0), (1, 1)))
+
+
+def _hp_y(p):
+    inner = 0.25 * (2.0 * p[:, 1:-1, :] - p[:, 2:, :] - p[:, :-2, :])
+    return jnp.pad(inner, ((0, 0), (1, 1), (0, 0)))
+
+
+def _notwall(j, nz, dtype):
+    """1 if unclipped plane index j is strictly interior, else 0 (the
+    reference's per-pass clearing zeroes the z-wall planes; out-of-range
+    clipped loads are zeroed by the same flag)."""
+    return jnp.where((j <= 0) | (j >= nz - 1), 0.0, 1.0).astype(dtype)
+
+
+def _mult_filter_kernel(with_subtract, *refs):
+    if with_subtract:
+        f_zm, f_c, f_zp, orig, out_ref = refs
+    else:
+        f_zm, f_c, f_zp, out_ref = refs
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    c = f_c[:, 0]
+    ny, nx = c.shape[-2], c.shape[-1]
+    mask = _ring_mask(ny, nx, c.dtype)
+
+    def t(p, j):
+        # clear(Hy(clear(Hx(p)))): in-plane ring zero + z-wall plane zero
+        q = mask * _hp_x(p)
+        q = mask * _hp_y(q)
+        return _notwall(j, nz, c.dtype) * q
+
+    t_zm = t(f_zm[:, 0], i - 1)
+    t_c = t(c, i)
+    t_zp = t(f_zp[:, 0], i + 1)
+    hz = 0.25 * (2.0 * t_c - t_zm - t_zp)
+    res = _notwall(i, nz, c.dtype) * mask * hz
+    out_ref[:, 0] = (orig[:, 0] - res) if with_subtract else res
+
+
+def _mult_filter_pass(buf, orig, interpret):
+    """One multiplicative filter application (clear.Hz.clear.Hy.clear.Hx);
+    with ``orig`` given, returns ``orig - H(buf)`` (the final subtraction
+    fused into the last pass)."""
+    _, nz, ny, nx = buf.shape
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i, off=off: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    with_subtract = orig is not None
+    in_specs = [plane(-1), plane(0), plane(+1)]
+    args = [buf, buf, buf]
+    if with_subtract:
+        in_specs.append(plane(0))
+        args.append(orig)
+    return pl.pallas_call(
+        functools.partial(_mult_filter_kernel, with_subtract),
+        grid=(nz,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        interpret=interpret,
+    )(*args)
+
+
+def _conv_inplane_kernel(k, use_x, f_c, out_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    c = f_c[:, 0]
+    ny, nx = c.shape[-2], c.shape[-1]
+    mask = _ring_mask(ny, nx, c.dtype)
+    nw = _notwall(i, nz, c.dtype)
+    buf = c
+    for _ in range(k):
+        buf = nw * (mask * (_hp_x(buf) if use_x else _hp_y(buf)))
+    out_ref[:, 0] = c - buf
+
+
+def _conv_z_kernel(k, *refs):
+    planes, out_ref = refs[:-1], refs[-1]
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    c = planes[k][:, 0]
+    ny, nx = c.shape[-2], c.shape[-1]
+    mask = _ring_mask(ny, nx, c.dtype)
+    cur = {off: planes[off + k][:, 0] for off in range(-k, k + 1)}
+    for step in range(1, k + 1):
+        reach = k - step
+        cur = {
+            off: _notwall(i + off, nz, c.dtype)
+            * mask
+            * (0.25 * (2.0 * cur[off] - cur[off - 1] - cur[off + 1]))
+            for off in range(-reach, reach + 1)
+        }
+    out_ref[:, 0] = c - cur[0]
+
+
+def _conv_z_single_kernel(with_subtract, *refs):
+    """One z high-pass application (clear . H_z); with ``orig`` given,
+    returns ``orig - H_z(buf)`` (the stage's final subtraction fused)."""
+    if with_subtract:
+        f_zm, f_c, f_zp, orig, out_ref = refs
+    else:
+        f_zm, f_c, f_zp, out_ref = refs
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    c = f_c[:, 0]
+    ny, nx = c.shape[-2], c.shape[-1]
+    mask = _ring_mask(ny, nx, c.dtype)
+    hz = 0.25 * (2.0 * c - f_zm[:, 0] - f_zp[:, 0])
+    res = _notwall(i, nz, c.dtype) * mask * hz
+    out_ref[:, 0] = (orig[:, 0] - res) if with_subtract else res
+
+
+def _conv_filter_stage(field, k, stage, interpret):
+    """One convolution-filter stage ``field - H_axis^k field`` (stage in
+    {"x", "y", "z"}), clears applied between applications. The z stage is
+    one fused 2k+1-plane kernel when that (double-buffered) working set
+    fits scoped VMEM, else k sequential 3-plane passes."""
+    _, nz, ny, nx = field.shape
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i, off=off: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def call(kern, in_specs, args):
+        return pl.pallas_call(
+            kern,
+            grid=(nz,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(field.shape, field.dtype),
+            interpret=interpret,
+        )(*args)
+
+    if stage in ("x", "y"):
+        kern = functools.partial(_conv_inplane_kernel, k, stage == "x")
+        return call(kern, [plane(0)], [field])
+    # factor 2 models Pallas's input double-buffering (an 11-plane k=5
+    # stage measured 18 MB of scoped vmem against the 16 MB limit)
+    if _plane_fits((3, nz, ny, nx), 2 * (2 * k + 2)):
+        kern = functools.partial(_conv_z_kernel, k)
+        return call(
+            kern, [plane(off) for off in range(-k, k + 1)], [field] * (2 * k + 1)
+        )
+    buf = field
+    for it in range(k):
+        last = it == k - 1
+        in_specs = [plane(-1), plane(0), plane(+1)]
+        args = [buf, buf, buf]
+        if last:
+            in_specs.append(plane(0))
+            args.append(field)
+        buf = call(
+            functools.partial(_conv_z_single_kernel, last), in_specs, args
+        )
+    return buf
+
+
+def _laplacian_filter_vector_3d_impl(
+    vector_field, filter_order, filter_type, interpret
+):
+    if filter_order == 0:
+        return vector_field
+    # minimum working sets: multiplicative pass = 4 planes; convolution's
+    # z stage degrades to sequential 3-plane passes (5 with the fused
+    # subtract), so the fused-vs-sequential choice lives in the stage
+    n_planes = 5 if filter_type == "convolution" else 4
+    if not _plane_fits(vector_field.shape, n_planes):
+        return _jnp_ops.laplacian_filter_vector_3d(
+            vector_field, filter_order, filter_type
+        )
+    if filter_type == "multiplicative":
+        buf = vector_field
+        for it in range(filter_order):
+            last = it == filter_order - 1
+            buf = _mult_filter_pass(
+                buf, vector_field if last else None, interpret
+            )
+        return buf
+    elif filter_type == "convolution":
+        out = vector_field
+        for stage in ("x", "y", "z"):
+            out = _conv_filter_stage(out, filter_order, stage, interpret)
+        return out
+    raise ValueError("Invalid filter type")
+
+
+_laplacian_filter_vjp = jax.custom_vjp(
+    _laplacian_filter_vector_3d_impl, nondiff_argnums=(1, 2, 3)
+)
+
+
+def _laplacian_filter_fwd(v, order, ftype, interpret):
+    return _laplacian_filter_vector_3d_impl(v, order, ftype, interpret), v
+
+
+def _laplacian_filter_bwd(order, ftype, interpret, v, ct):
+    _, vjp = jax.vjp(
+        lambda f: _jnp_ops.laplacian_filter_vector_3d(f, order, ftype), v
+    )
+    return vjp(ct)
+
+
+_laplacian_filter_vjp.defvjp(_laplacian_filter_fwd, _laplacian_filter_bwd)
+
+
+def laplacian_filter_vector_3d_pallas(
+    vector_field, filter_order: int, filter_type: str, *, interpret=None
+):
+    """Pallas ``laplacian_filter_vector_3d`` (exact parity incl. the
+    per-pass wall clearing), one HBM read+write per filter application,
+    with a VJP via the jnp formulation."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _laplacian_filter_vjp(
+        vector_field, int(filter_order), filter_type, interpret
+    )

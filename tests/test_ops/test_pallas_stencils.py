@@ -79,3 +79,61 @@ def test_pallas_curl_with_free_stream_add(fields):
     ref = add_fixed_val(curl_3d(w, a), fsv)
     out = curl_3d_pallas(w, a, add_vector=fsv, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@pytest.mark.parametrize("filter_type", ["multiplicative", "convolution"])
+@pytest.mark.parametrize("order", [1, 2, 5])
+def test_pallas_laplacian_filter_matches_jnp(order, filter_type):
+    from sopht_mpi_tpu.ops import laplacian_filter_vector_3d
+    from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+        laplacian_filter_vector_3d_pallas,
+    )
+
+    # anisotropic shape catches axis mixups
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 12, 8, 16), jnp.float64)
+    ref = laplacian_filter_vector_3d(w, order, filter_type)
+    out = laplacian_filter_vector_3d_pallas(
+        w, order, filter_type, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_pallas_laplacian_filter_order_zero_and_grad():
+    from sopht_mpi_tpu.ops import laplacian_filter_vector_3d
+    from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+        laplacian_filter_vector_3d_pallas,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(4), (3, 8, 8, 8), jnp.float32)
+    assert (
+        laplacian_filter_vector_3d_pallas(w, 0, "multiplicative", interpret=True)
+        is w
+    )
+    g_pal = jax.grad(
+        lambda f: jnp.sum(
+            laplacian_filter_vector_3d_pallas(
+                f, 2, "multiplicative", interpret=True
+            )
+            ** 2
+        )
+    )(w)
+    g_ref = jax.grad(
+        lambda f: jnp.sum(laplacian_filter_vector_3d(f, 2, "multiplicative") ** 2)
+    )(w)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), atol=1e-5)
+
+
+def test_pallas_laplacian_filter_sequential_z_stage(monkeypatch):
+    """With a VMEM cap too small for the fused 2k+1-plane z stage, the
+    convolution filter degrades to sequential 3-plane z passes and still
+    matches the jnp reference."""
+    import sopht_mpi_tpu.ops.pallas_stencils_3d as mod
+    from sopht_mpi_tpu.ops import laplacian_filter_vector_3d
+
+    monkeypatch.setattr(mod, "_VMEM_BYTES_CAP", 20_000)
+    w = jax.random.normal(jax.random.PRNGKey(5), (3, 12, 8, 16), jnp.float64)
+    ref = laplacian_filter_vector_3d(w, 5, "convolution")
+    out = mod.laplacian_filter_vector_3d_pallas(
+        w, 5, "convolution", interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
