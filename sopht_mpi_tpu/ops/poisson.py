@@ -134,13 +134,27 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
     else:
         nz, ny, nx = rhs.shape[1], rhs.shape[2], rhs.shape[3]
         mz, my = doubled[0], doubled[1]
-        fr, fi, sr, si = rfft_pass_padded_split(
-            rhs.reshape(c * nz * ny, nx), mx
+        from sopht_mpi_tpu.parallel.pallas_fft import (
+            fused_edge_pass_ok,
+            ifft_irfft_pass_fused,
+            rfft_fft_pass_fused,
         )
-        # bulk y pass: fold (c, nz) into the kernel batch dim
-        fr = fr.reshape(c * nz, ny, bx)
-        fi = fi.reshape(c * nz, ny, bx)
-        fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, bx)
+
+        # fused edge passes (x-r2c folded into y-fwd, y-inv into c2r)
+        # remove the (c*nz, ny, bx) split intermediates on both sides
+        fused_edges = fused_edge_pass_ok(ny, nx, my, mx)
+        if fused_edges:
+            fr, fi, sr, si = rfft_fft_pass_fused(
+                rhs.reshape(c * nz, ny, nx), mx, my
+            )  # (c*nz, my, bx) bulk pair + (c*nz, ny, 1) side pair
+        else:
+            fr, fi, sr, si = rfft_pass_padded_split(
+                rhs.reshape(c * nz * ny, nx), mx
+            )
+            # bulk y pass: fold (c, nz) into the kernel batch dim
+            fr = fr.reshape(c * nz, ny, bx)
+            fi = fi.reshape(c * nz, ny, bx)
+            fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, bx)
         # bulk z pass with greens folded into one fused kernel: the
         # (c, mz, my*bx) doubled spectrum never hits HBM - this is what
         # makes the 512^3 vector solve fit on one chip, and it measures
@@ -150,9 +164,6 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         fr, fi = fft_greens_ifft_pass(
             fr, fi, g_bulk.reshape(1, mz, my * bx)
         )  # (c, nz, my*bx)
-        fr = fr.reshape(c * nz, my, bx)
-        fi = fi.reshape(c * nz, my, bx)
-        fr, fi = ifft_pass_truncated(fr, fi)  # (c*nz, ny, bx)
         # Nyquist column side path (c, nz, ny) complex
         s = jax.lax.complex(sr, si).reshape(c, nz, ny)
         s = jnp.fft.fft(s, n=my, axis=2)
@@ -160,12 +171,23 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         s = s * g_side[None]
         s = jnp.fft.ifft(s, axis=1)[:, :nz]
         s = jnp.fft.ifft(s, axis=2)[:, :, :ny]
-        sol = irfft_pass_merge(
-            fr.reshape(c * nz * ny, bx), fi.reshape(c * nz * ny, bx),
-            jnp.real(s).reshape(c * nz * ny, 1),
-            jnp.imag(s).reshape(c * nz * ny, 1),
-            mx, nx,
-        ).reshape(c, nz, ny, nx)
+        if fused_edges:
+            sol = ifft_irfft_pass_fused(
+                fr.reshape(c * nz, my, bx), fi.reshape(c * nz, my, bx),
+                jnp.real(s).astype(fr.dtype).reshape(c * nz, ny, 1),
+                jnp.imag(s).astype(fr.dtype).reshape(c * nz, ny, 1),
+                mx, nx,
+            ).reshape(c, nz, ny, nx)
+        else:
+            fr = fr.reshape(c * nz, my, bx)
+            fi = fi.reshape(c * nz, my, bx)
+            fr, fi = ifft_pass_truncated(fr, fi)  # (c*nz, ny, bx)
+            sol = irfft_pass_merge(
+                fr.reshape(c * nz * ny, bx), fi.reshape(c * nz * ny, bx),
+                jnp.real(s).reshape(c * nz * ny, 1),
+                jnp.imag(s).reshape(c * nz * ny, 1),
+                mx, nx,
+            ).reshape(c, nz, ny, nx)
     return sol if batched else sol[0]
 
 

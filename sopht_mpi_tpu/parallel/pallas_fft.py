@@ -793,3 +793,256 @@ def irfft_pass_merge(br, bi, sr, si, m: int, n_out: int):
 
 
 irfft_pass_merge.__doc__ = _irfft_pass_merge_impl.__doc__
+
+
+# ---------------------------------------------------------------------------
+# fused edge passes: x-r2c folded into the y-forward pass, and the
+# y-inverse folded into the x-c2r merge. Removes the (A, ny, bx) split
+# intermediate on each side of the 3D convolve (~0.8 GB of HBM traffic per
+# side per component-triple at 256^3 -> the PLAN item-6 "solve is ~13%
+# above its BW floor" headroom). Single lane tile (bt = bx): the r2c
+# contraction reads the full x extent once per A row.
+# ---------------------------------------------------------------------------
+
+
+def _r2c_fwd_kernel(m, m1, m2, cb_ref, sb_ref, cs_ref, ss_ref, p1_ref,
+                    pa_ref, x_ref, or_ref, oi_ref, osr_ref, osi_ref):
+    """x block (1, m2/2, m1, nx) real -> bulk y-spectrum (1, m, bx) pair +
+    r2c Nyquist side column (1, m2/2, m1, 1) pair (natural row order under
+    the host-side merge view)."""
+    p1 = p1_ref[...]
+    cb = cb_ref[...]
+    sb = sb_ref[...]
+    y_sl, sr_sl, si_sl = [], [], []
+    for j in range(m1):
+        xj = x_ref[0, :, j, :]  # (m2/2, nx) real rows n = j (mod m1)
+        tr = _mm(xj, cb)  # r2c bulk: (m2/2, bx)
+        ti = _mm(xj, sb)
+        sr_sl.append(_mm(xj, cs_ref[...]))  # (m2/2, 1)
+        si_sl.append(_mm(xj, ss_ref[...]))
+        y_sl.append(_mm(p1, _cat(tr, ti)))  # y step 1: (2m2, bx)
+    y = jnp.stack(y_sl)
+    zr_sl, zi_sl = [], []
+    for c in range(m2):
+        z = _mm(pa_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]))
+        zr_sl.append(z[:m1])
+        zi_sl.append(z[m1:])
+    or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m, or_ref.shape[2])
+    oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m, oi_ref.shape[2])
+    osr_ref[0] = jnp.stack(sr_sl, axis=1)
+    osi_ref[0] = jnp.stack(si_sl, axis=1)
+
+
+def _inv_c2r_kernel(m, m1, m2, pa_ref, p2_ref, cwb_ref, swb_ref, cws_ref,
+                    sws_ref, xr_ref, xi_ref, sr_ref, si_ref, o_ref):
+    """Bulk y-spectrum blocks (1, m1, m2, bx) pair + side-solution column
+    (1, ny, 1) pair -> real (1, ny, nx) output."""
+    y_sl = []
+    for c in range(m2):
+        y_sl.append(
+            _mm(pa_ref[c], _cat(xr_ref[0, :, c, :], xi_ref[0, :, c, :]))
+        )
+    y = jnp.stack(y_sl)  # (k2, 2m1, bx)
+    p2 = p2_ref[...]
+    zr_sl, zi_sl = [], []
+    for j in range(m1):
+        o = _mm(p2, _cat(y[:, j, :], y[:, m1 + j, :]))  # (m2, bx)
+        zr_sl.append(o[: m2 // 2])
+        zi_sl.append(o[m2 // 2:])
+    ny = m // 2
+    zr = jnp.stack(zr_sl, axis=1).reshape(ny, xr_ref.shape[3])
+    zi = jnp.stack(zi_sl, axis=1).reshape(ny, xi_ref.shape[3])
+    o_ref[0] = (
+        _mm(zr, cwb_ref[...])
+        + _mm(zi, swb_ref[...])
+        + sr_ref[0] * cws_ref[...]
+        + si_ref[0] * sws_ref[...]
+    )
+
+
+def _fused_edge_vmem_ok(ny: int, nx: int, my: int) -> bool:
+    """Conservative single-buffer estimate for the fused edge kernels; the
+    pipeline double-buffers, and scoped vmem is 16 MB."""
+    bx = 2 * nx // 2  # = nx: bulk width of the doubled minor axis
+    m1, m2 = _best_factors(my)
+    elems = (
+        ny * nx  # x block / output block
+        + 2 * nx * bx  # cb/sb or cwb/swb
+        + m2 * 4 * m1 * m1  # pa packed
+        + m1 * 2 * m2 * bx  # y intermediate
+        + 2 * my * bx  # bulk pair
+        + 2 * ny * bx  # z pair (inverse)
+    )
+    return 4 * elems <= 6 * 1024 * 1024
+
+
+# NEGATIVE RESULT (256^3 solve shapes, v5e, measured via the chained-scan
+# recipe): the fused edge roundtrip costs 16.3 ms vs 14.0 ms for the
+# separate passes, despite saving ~1.6 GB of HBM traffic (floor 10.8 ms).
+# The single-lane-tile, one-A-row-per-grid-step structure is
+# compute-bound: the r2c contraction runs as m1 narrow (m2/2, nx) matmuls
+# per row and the kernel loses the (A, B-tile) pipelining of the separate
+# passes. Kept behind this flag (correct, tested, differentiable) in case
+# other shapes/hardware flip the trade.
+USE_FUSED_EDGE_PASSES = False
+
+
+def fused_edge_pass_ok(ny: int, nx: int, my: int, mx: int) -> bool:
+    """Whether the fused r2c+y-fwd / y-inv+c2r kernels support this size
+    (and the measured-slower path is enabled; see the flag above)."""
+    return (
+        USE_FUSED_EDGE_PASSES
+        and pallas_fft_supported(my)
+        and mx == 2 * nx
+        and (my // 2) % _best_factors(my)[0] == 0
+        and _fused_edge_vmem_ok(ny, nx, my)
+    )
+
+
+def _rfft_fft_pass_fused_impl(x, mx: int, my: int):
+    """Fused ``rfft_pass_padded_split`` (minor axis, zero-padded to mx) +
+    ``fft_pass_padded`` (middle axis, zero-padded to my) of a real
+    (A, ny, nx) array with ny = my/2. Returns (bulk_r, bulk_i) of shape
+    (A, my, mx/2) and the r2c Nyquist side column (side_r, side_i) of
+    shape (A, ny, 1)."""
+    a_dim, ny, nx = x.shape
+    assert 2 * ny == my
+    m1, m2 = _best_factors(my)
+    bx = mx // 2
+    c, s = _r2c_mats(nx, mx)
+    cb, sb = np.ascontiguousarray(c[:, :bx]), np.ascontiguousarray(s[:, :bx])
+    cs, ss = np.ascontiguousarray(c[:, bx:]), np.ascontiguousarray(s[:, bx:])
+    p1, pa = _packed_fwd_mats(my)
+    kern = functools.partial(_r2c_fwd_kernel, my, m1, m2)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    x4 = x.reshape(a_dim, m2 // 2, m1, nx)
+    in_spec = pl.BlockSpec(
+        (1, m2 // 2, m1, nx), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bulk_spec = pl.BlockSpec(
+        (1, my, bx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    side_spec = pl.BlockSpec(
+        (1, m2 // 2, m1, 1), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    br, bi, sr, si = pl.pallas_call(
+        kern,
+        grid=(a_dim,),
+        in_specs=[mat_spec(cb), mat_spec(sb), mat_spec(cs), mat_spec(ss),
+                  mat_spec(p1), mat_spec(pa), in_spec],
+        out_specs=[bulk_spec, bulk_spec, side_spec, side_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((a_dim, my, bx), jnp.float32),
+            jax.ShapeDtypeStruct((a_dim, my, bx), jnp.float32),
+            jax.ShapeDtypeStruct((a_dim, m2 // 2, m1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((a_dim, m2 // 2, m1, 1), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(jnp.asarray(cb), jnp.asarray(sb), jnp.asarray(cs), jnp.asarray(ss),
+      jnp.asarray(p1), jnp.asarray(pa), x4)
+    return br, bi, sr.reshape(a_dim, ny, 1), si.reshape(a_dim, ny, 1)
+
+
+def _ifft_irfft_pass_fused_impl(br, bi, sr, si, mx: int, nx: int):
+    """Fused ``ifft_pass_truncated`` (middle axis) + ``irfft_pass_merge``
+    (minor axis): bulk y-spectrum (A, my, bx) pair + side-solution column
+    (A, ny, 1) pair -> real (A, ny, nx)."""
+    a_dim, my, bx = br.shape
+    assert 2 * bx == mx
+    ny = my // 2
+    m1, m2 = _best_factors(my)
+    pa, p2 = _packed_inv_mats(my)
+    cw, sw = _c2r_mats(mx, nx)
+    cwb, swb = np.ascontiguousarray(cw[:bx]), np.ascontiguousarray(sw[:bx])
+    cws, sws = np.ascontiguousarray(cw[bx:]), np.ascontiguousarray(sw[bx:])
+    kern = functools.partial(_inv_c2r_kernel, my, m1, m2)
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0,) * arr.ndim, memory_space=pltpu.VMEM
+    )
+    split = lambda arr: arr.reshape(a_dim, m1, m2, bx)
+    bulk_spec = pl.BlockSpec(
+        (1, m1, m2, bx), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    side_spec = pl.BlockSpec(
+        (1, ny, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(a_dim,),
+        in_specs=[mat_spec(pa), mat_spec(p2), mat_spec(cwb), mat_spec(swb),
+                  mat_spec(cws), mat_spec(sws), bulk_spec, bulk_spec,
+                  side_spec, side_spec],
+        out_specs=pl.BlockSpec(
+            (1, ny, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((a_dim, ny, nx), jnp.float32),
+        interpret=_use_interpret(),
+    )(jnp.asarray(pa), jnp.asarray(p2), jnp.asarray(cwb), jnp.asarray(swb),
+      jnp.asarray(cws), jnp.asarray(sws), split(br), split(bi), sr, si)
+
+
+def _rfft_fft_fused_ref(x, mx, my):
+    z = jnp.fft.rfft(x, n=mx, axis=2)
+    bulk = jnp.fft.fft(z[..., : mx // 2], n=my, axis=1)
+    side = z[..., mx // 2:]
+    return (
+        jnp.real(bulk).astype(x.dtype), jnp.imag(bulk).astype(x.dtype),
+        jnp.real(side).astype(x.dtype), jnp.imag(side).astype(x.dtype),
+    )
+
+
+_rfft_fft_pass_fused_vjp = jax.custom_vjp(
+    _rfft_fft_pass_fused_impl, nondiff_argnums=(1, 2)
+)
+
+
+def _rfft_fft_pass_fused_fwd(x, mx, my):
+    return _rfft_fft_pass_fused_impl(x, mx, my), x
+
+
+def _rfft_fft_pass_fused_bwd(mx, my, x, ct):
+    _, vjp = jax.vjp(lambda a: _rfft_fft_fused_ref(a, mx, my), x)
+    return vjp(ct)
+
+
+_rfft_fft_pass_fused_vjp.defvjp(_rfft_fft_pass_fused_fwd, _rfft_fft_pass_fused_bwd)
+
+
+def rfft_fft_pass_fused(x, mx: int, my: int):
+    return _rfft_fft_pass_fused_vjp(x, mx, my)
+
+
+rfft_fft_pass_fused.__doc__ = _rfft_fft_pass_fused_impl.__doc__
+
+
+def _ifft_irfft_fused_ref(br, bi, sr, si, mx, nx):
+    my = br.shape[1]
+    bulk = jnp.fft.ifft(br + 1j * bi, axis=1)[:, : my // 2]
+    z = jnp.concatenate([bulk, sr + 1j * si], axis=2)
+    return jnp.fft.irfft(z, n=mx, axis=2)[:, :, :nx].astype(br.dtype)
+
+
+_ifft_irfft_pass_fused_vjp = jax.custom_vjp(
+    _ifft_irfft_pass_fused_impl, nondiff_argnums=(4, 5)
+)
+
+
+def _ifft_irfft_pass_fused_fwd(br, bi, sr, si, mx, nx):
+    return _ifft_irfft_pass_fused_impl(br, bi, sr, si, mx, nx), (br, bi, sr, si)
+
+
+def _ifft_irfft_pass_fused_bwd(mx, nx, res, ct):
+    _, vjp = jax.vjp(lambda a, b, c, d: _ifft_irfft_fused_ref(a, b, c, d, mx, nx), *res)
+    return vjp(ct)
+
+
+_ifft_irfft_pass_fused_vjp.defvjp(_ifft_irfft_pass_fused_fwd, _ifft_irfft_pass_fused_bwd)
+
+
+def ifft_irfft_pass_fused(br, bi, sr, si, mx: int, nx: int):
+    return _ifft_irfft_pass_fused_vjp(br, bi, sr, si, mx, nx)
+
+
+ifft_irfft_pass_fused.__doc__ = _ifft_irfft_pass_fused_impl.__doc__

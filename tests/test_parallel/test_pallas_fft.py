@@ -188,3 +188,35 @@ def test_fft_greens_ifft_pass_sizes(m):
         np.asarray(or_) + 1j * np.asarray(oi), ref,
         atol=5e-5 * np.abs(ref).max(),
     )
+
+
+def test_fused_edge_passes_match_reference(monkeypatch):
+    """The fused r2c+y-fwd / y-inv+c2r edge kernels (off by default - a
+    measured negative result at 256^3, see pallas_fft.py) stay correct:
+    full 3D convolve parity with the fused edges forced on."""
+    import sopht_mpi_tpu.parallel.pallas_fft as pf
+    from sopht_mpi_tpu.ops.poisson import (
+        _pallas_convolve_local,
+        _padded_rfftn_local,
+        split_pallas_greens,
+    )
+
+    monkeypatch.setattr(pf, "USE_FUSED_EDGE_PASSES", True)
+    n = 32
+    doubled = (2 * n, 2 * n, 2 * n)
+    assert pf.fused_edge_pass_ok(n, n, 2 * n, 2 * n)
+    rng = np.random.default_rng(8)
+    rhs = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal(doubled), jnp.float32)
+    greens = jnp.real(_padded_rfftn_local(kernel, doubled)[..., : n + 1])
+    out = _pallas_convolve_local(
+        rhs, split_pallas_greens(greens), doubled
+    )
+    monkeypatch.setattr(pf, "USE_FUSED_EDGE_PASSES", False)
+    ref = _pallas_convolve_local(
+        rhs, split_pallas_greens(greens), doubled
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref),
+        atol=5e-5 * float(jnp.abs(ref).max()),
+    )
