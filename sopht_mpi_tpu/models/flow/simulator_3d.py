@@ -308,6 +308,7 @@ def compute_flow_velocity_3d(
     poisson_greens=None,
     use_pallas=False,
     return_velocity_l1_max=False,
+    skip_penalise=False,
 ):
     """Wall-penalise vorticity -> vector Poisson -> curl -> free stream
     (reference :382-393). Returns (vorticity, velocity), plus the global
@@ -320,7 +321,10 @@ def compute_flow_velocity_3d(
     numerically identical but measured slower on TPU: the curl then acts on
     the 8x-larger doubled spectral arrays instead of the truncated real
     ones.)"""
-    vorticity = penalise_field_boundary_vector_3d(vorticity, penalty_zone_width)
+    if not skip_penalise:
+        vorticity = penalise_field_boundary_vector_3d(
+            vorticity, penalty_zone_width
+        )
     stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
     l1_max = None
     if use_pallas:
@@ -396,19 +400,40 @@ def flow_step_3d(
             )
         # rotational form transport (reference :395-413)
         pref = jnp.asarray(dt / (2.0 * dx), real_t)
+        penalised_in_transport = False
         if use_pallas:
             from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+                diffusion_penalise_supported,
+                diffusion_penalise_vector_3d_pallas,
                 diffusion_timestep_vector_3d_pallas,
                 laplacian_filter_vector_3d_pallas,
+                penalise_field_boundary_vector_3d_pallas,
                 rotational_curl_add_3d_pallas,
             )
 
             field = rotational_curl_add_3d_pallas(field, velocity, pref)
-            field = diffusion_timestep_vector_3d_pallas(field, nu_dt_by_dx2)
-            if filter_order > 0:
-                field = laplacian_filter_vector_3d_pallas(
-                    field, filter_order, filter_type
+            if filter_order == 0 and diffusion_penalise_supported(
+                field.shape, penalty_zone_width
+            ):
+                # boundary penalisation fused into the diffusion pass
+                # (the velocity-recovery stage then skips it)
+                field = diffusion_penalise_vector_3d_pallas(
+                    field, nu_dt_by_dx2, penalty_zone_width
                 )
+                penalised_in_transport = True
+            else:
+                field = diffusion_timestep_vector_3d_pallas(
+                    field, nu_dt_by_dx2
+                )
+                if filter_order > 0:
+                    field = laplacian_filter_vector_3d_pallas(
+                        field, filter_order, filter_type
+                    )
+                if penalty_zone_width > 0:
+                    field = penalise_field_boundary_vector_3d_pallas(
+                        field, penalty_zone_width
+                    )
+                    penalised_in_transport = True
         else:
             velocity_cross_vorticity = cross_product_3d(velocity, field)
             field = update_vorticity_from_velocity_forcing_3d(
@@ -429,6 +454,7 @@ def flow_step_3d(
             poisson_greens=poisson_greens,
             use_pallas=use_pallas,
             return_velocity_l1_max=return_velocity_l1_max,
+            skip_penalise=penalised_in_transport,
         )
         if return_velocity_l1_max:
             field, velocity, l1_max = res

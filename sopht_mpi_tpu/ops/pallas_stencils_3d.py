@@ -637,3 +637,244 @@ def laplacian_filter_vector_3d_pallas(
     return _laplacian_filter_vjp(
         vector_field, int(filter_order), filter_type, interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# boundary penalisation (sponge zone)
+# (= stencils_3d.penalise_field_boundary_vector_3d; reference
+# penalise_field_boundary_mpi_3d.py). The sequential x/y/z clamp+ramp
+# composition is separable: out[z,y,x] = r(z) r(y) r(x) * f[s(z),s(y),s(x)]
+# with s = clip(i, w-1, n-w) and r the sine ramp (1 in the interior) - so
+# one streaming pass computes it, where the jnp concatenation form costs
+# ~8.7 ms standalone / ~4 ms in-situ at 256^3. The fused
+# diffusion+penalise kernel removes the pass entirely on the no-filter
+# Navier-Stokes path.
+# ---------------------------------------------------------------------------
+
+
+def _ramp_vals(width: int):
+    import numpy as _np
+
+    return [
+        float(_np.sin(0.5 * _np.pi * k / width)) for k in range(width)
+    ]
+
+
+def _penalise_inplane(p, ramp_vals):
+    """Separable in-plane (y then x) clamp+ramp of a (3, ny, nx) plane."""
+    w = len(ramp_vals)
+    ny, nx = p.shape[-2], p.shape[-1]
+    lo = p[:, w - 1 : w, :]
+    hi = p[:, ny - w : ny - w + 1, :]
+    p = jnp.concatenate(
+        [lo * r for r in ramp_vals]
+        + [p[:, w : ny - w, :]]
+        + [hi * r for r in reversed(ramp_vals)],
+        axis=1,
+    )
+    lo = p[:, :, w - 1 : w]
+    hi = p[:, :, nx - w : nx - w + 1]
+    return jnp.concatenate(
+        [lo * r for r in ramp_vals]
+        + [p[:, :, w : nx - w]]
+        + [hi * r for r in reversed(ramp_vals)],
+        axis=2,
+    )
+
+
+def _z_ramp_weight(i, nz, ramp_vals, dtype):
+    wz = jnp.ones((), dtype)
+    for k, r in enumerate(ramp_vals):
+        wz = jnp.where(i == k, r, wz)
+        wz = jnp.where(i == nz - 1 - k, r, wz)
+    return wz
+
+
+def _select_plane(planes, offset, delta):
+    """planes: dict off -> (3, ny, nx); select planes[offset + delta] where
+    ``delta`` is a traced scalar in the dict's key range."""
+    keys = sorted(planes.keys())
+    out = planes[keys[0]]
+    for k in keys[1:]:
+        out = jnp.where(delta == k - offset, planes[k], out)
+    return out
+
+
+def _penalise_kernel(w, ramp_vals, *refs):
+    planes_refs, out_ref = refs[:-1], refs[-1]
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    reach = w - 1
+    planes = {
+        off: planes_refs[off + reach][:, 0] for off in range(-reach, reach + 1)
+    }
+    c = planes[0]
+    delta = jnp.clip(i, w - 1, nz - w) - i  # source-plane offset
+    src = _select_plane(planes, 0, delta)
+    q = _penalise_inplane(src, ramp_vals)
+    out_ref[:, 0] = _z_ramp_weight(i, nz, ramp_vals, c.dtype) * q
+
+
+def _diffusion_at(planes, off, prefac, nz, i):
+    """Diffusion output at plane offset ``off`` (a static int) from the
+    loaded plane dict; the wall-flux mask never applies because the
+    clamped source plane is strictly interior."""
+    c = planes[off]
+    ny, nx = c.shape[-2], c.shape[-1]
+    lap = (
+        planes[off - 1]
+        + planes[off + 1]
+        - 6.0 * c
+        + jnp.pad(c[:, 2:, :] + c[:, :-2, :], ((0, 0), (1, 1), (0, 0)))
+        + jnp.pad(c[:, :, 2:] + c[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    )
+    return c + prefac * _ring_mask(ny, nx, c.dtype) * lap
+
+
+def _diffusion_penalise_kernel(w, ramp_vals, prefac_ref, *refs):
+    planes_refs, out_ref = refs[:-1], refs[-1]
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    planes = {off: planes_refs[off + w][:, 0] for off in range(-w, w + 1)}
+    p = prefac_ref[0, 0]
+    delta = jnp.clip(i, w - 1, nz - w) - i
+    # diffusion output at the clamped source plane: its three z-neighbors
+    # all lie in the loaded window (|delta| <= w-1)
+    d_planes = {
+        off: _diffusion_at(planes, off, p, nz, i)
+        for off in range(-(w - 1), w)
+    }
+    src = _select_plane(d_planes, 0, delta)
+    q = _penalise_inplane(src, ramp_vals)
+    out_ref[:, 0] = _z_ramp_weight(i, nz, ramp_vals, src.dtype) * q
+
+
+def _penalise_vector_3d_impl(vector_field, width, interpret):
+    if width == 0:
+        return vector_field
+    _, nz, ny, nx = vector_field.shape
+    reach = width - 1
+    if (
+        not _plane_fits(vector_field.shape, 2 * reach + 1)
+        or nz <= 2 * width
+        or ny <= 2 * width
+        or nx <= 2 * width
+    ):
+        return _jnp_ops.penalise_field_boundary_vector_3d(vector_field, width)
+    ramp_vals = _ramp_vals(width)
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i, off=off: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_penalise_kernel, width, ramp_vals),
+        grid=(nz,),
+        in_specs=[plane(off) for off in range(-reach, reach + 1)],
+        out_specs=pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(vector_field.shape, vector_field.dtype),
+        interpret=interpret,
+    )(*([vector_field] * (2 * reach + 1)))
+
+
+_penalise_vjp = jax.custom_vjp(_penalise_vector_3d_impl, nondiff_argnums=(1, 2))
+
+
+def _penalise_fwd(v, width, interpret):
+    return _penalise_vector_3d_impl(v, width, interpret), v
+
+
+def _penalise_bwd(width, interpret, v, ct):
+    _, vjp = jax.vjp(
+        lambda f: _jnp_ops.penalise_field_boundary_vector_3d(f, width), v
+    )
+    return vjp(ct)
+
+
+_penalise_vjp.defvjp(_penalise_fwd, _penalise_bwd)
+
+
+def penalise_field_boundary_vector_3d_pallas(
+    vector_field, width: int, *, interpret=None
+):
+    """Pallas ``penalise_field_boundary_vector_3d`` (exact parity), one
+    streaming pass, with a VJP via the jnp formulation."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _penalise_vjp(vector_field, int(width), interpret)
+
+
+def diffusion_penalise_supported(shape, width: int) -> bool:
+    _, nz, ny, nx = shape
+    return (
+        width > 0
+        and _plane_fits(shape, 2 * width + 1)
+        and nz > 2 * width
+        and ny > 2 * width
+        and nx > 2 * width
+    )
+
+
+def _diffusion_penalise_impl(vector_field, nu_dt_by_dx2, width, interpret):
+    if not diffusion_penalise_supported(vector_field.shape, width):
+        out = _jnp_ops.diffusion_timestep_vector_3d(vector_field, nu_dt_by_dx2)
+        return _jnp_ops.penalise_field_boundary_vector_3d(out, width)
+    _, nz, ny, nx = vector_field.shape
+    ramp_vals = _ramp_vals(width)
+    prefac = jnp.asarray(nu_dt_by_dx2, vector_field.dtype).reshape(1, 1)
+    plane = lambda off: pl.BlockSpec(
+        (3, 1, ny, nx),
+        lambda i, off=off: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_diffusion_penalise_kernel, width, ramp_vals),
+        grid=(nz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        ]
+        + [plane(off) for off in range(-width, width + 1)],
+        out_specs=pl.BlockSpec(
+            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(vector_field.shape, vector_field.dtype),
+        interpret=interpret,
+    )(prefac, *([vector_field] * (2 * width + 1)))
+
+
+_diffusion_penalise_vjp = jax.custom_vjp(
+    _diffusion_penalise_impl, nondiff_argnums=(2, 3)
+)
+
+
+def _diffusion_penalise_fwd(v, p, width, interpret):
+    return _diffusion_penalise_impl(v, p, width, interpret), (v, p)
+
+
+def _diffusion_penalise_bwd(width, interpret, res, ct):
+    v, p = res
+    _, vjp = jax.vjp(
+        lambda f, q: _jnp_ops.penalise_field_boundary_vector_3d(
+            _jnp_ops.diffusion_timestep_vector_3d(f, q), width
+        ),
+        v, p,
+    )
+    return vjp(ct)
+
+
+_diffusion_penalise_vjp.defvjp(_diffusion_penalise_fwd, _diffusion_penalise_bwd)
+
+
+def diffusion_penalise_vector_3d_pallas(
+    vector_field, nu_dt_by_dx2, width: int, *, interpret=None
+):
+    """Fused ``penalise_field_boundary_vector_3d(diffusion_timestep_vector_3d(
+    f, p), width)`` in one streaming pass (the no-filter Navier-Stokes
+    transport tail), with a VJP via the jnp composition."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _diffusion_penalise_vjp(
+        vector_field, nu_dt_by_dx2, int(width), interpret
+    )

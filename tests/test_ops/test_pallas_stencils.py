@@ -137,3 +137,76 @@ def test_pallas_laplacian_filter_sequential_z_stage(monkeypatch):
         w, 5, "convolution", interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@pytest.mark.parametrize("width", [1, 2, 3])
+def test_pallas_penalise_matches_jnp(width):
+    from sopht_mpi_tpu.ops import penalise_field_boundary_vector_3d
+    from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+        penalise_field_boundary_vector_3d_pallas,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(6), (3, 12, 10, 16), jnp.float64)
+    ref = penalise_field_boundary_vector_3d(w, width)
+    out = penalise_field_boundary_vector_3d_pallas(w, width, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-14)
+    # width 0 no-op
+    assert (
+        penalise_field_boundary_vector_3d_pallas(w, 0, interpret=True) is w
+    )
+
+
+@pytest.mark.parametrize("width", [1, 2, 3])
+def test_pallas_diffusion_penalise_fused_matches_jnp(width):
+    from sopht_mpi_tpu.ops import (
+        diffusion_timestep_vector_3d,
+        penalise_field_boundary_vector_3d,
+    )
+    from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+        diffusion_penalise_vector_3d_pallas,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(7), (3, 12, 10, 16), jnp.float64)
+    p = jnp.float64(0.21)
+    ref = penalise_field_boundary_vector_3d(
+        diffusion_timestep_vector_3d(w, p), width
+    )
+    out = diffusion_penalise_vector_3d_pallas(w, p, width, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_pallas_diffusion_penalise_grad():
+    from sopht_mpi_tpu.ops import (
+        diffusion_timestep_vector_3d,
+        penalise_field_boundary_vector_3d,
+    )
+    from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+        diffusion_penalise_vector_3d_pallas,
+        penalise_field_boundary_vector_3d_pallas,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(8), (3, 8, 8, 8), jnp.float32)
+    p = jnp.float32(0.1)
+    g1 = jax.grad(
+        lambda f: jnp.sum(
+            diffusion_penalise_vector_3d_pallas(f, p, 2, interpret=True) ** 2
+        )
+    )(w)
+    g1r = jax.grad(
+        lambda f: jnp.sum(
+            penalise_field_boundary_vector_3d(
+                diffusion_timestep_vector_3d(f, p), 2
+            )
+            ** 2
+        )
+    )(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g1r), atol=1e-5)
+    g2 = jax.grad(
+        lambda f: jnp.sum(
+            penalise_field_boundary_vector_3d_pallas(f, 2, interpret=True) ** 2
+        )
+    )(w)
+    g2r = jax.grad(
+        lambda f: jnp.sum(penalise_field_boundary_vector_3d(f, 2) ** 2)
+    )(w)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2r), atol=1e-5)
