@@ -152,18 +152,16 @@ def flow_past_rod_case(
             surface_grid_density_for_largest_element
         ),
     )
-    if fused and save_data:
-        raise ValueError(
-            "save_data is not supported with fused=True (snapshot writes "
-            "live in the host loop)"
-        )
+    # fused + save_data: field snapshots ride the native async dump writer
+    # at scan-window boundaries (utils/snapshots.py) instead of the host
+    # loop's synchronous FieldIO
     if not fused:
         # the fused loop computes the flow forces in-trace instead
         flow_past_sim.add_forcing_to(flow_past_rod).using(
             FlowForces, cosserat_rod_flow_interactor
         )
 
-    if save_data:
+    if save_data and not fused:
         from sopht_mpi_tpu.utils import CosseratRodIO, FieldBinding, FieldIO
 
         io = FieldIO(dim=3, real_dtype=real_t)
@@ -207,9 +205,22 @@ def flow_past_rod_case(
         carry = init_rod_fsi_carry(
             flow_sim, cosserat_rod_flow_interactor, flow_past_rod
         )
+        snaps = None
+        if save_data:
+            from sopht_mpi_tpu.utils import SnapshotWriter
+
+            snaps = SnapshotWriter(
+                interval=final_time / 50, out_dir="snapshots"
+            )
         tip_times, tip_positions = [], []
         while float(carry.time) < final_time:
             carry, _ = scan_steps(step, carry, window, donate=True)
+            if snaps is not None:
+                snaps.maybe_save(
+                    float(carry.time),
+                    vorticity=carry.flow_state.primary_field,
+                    rod_position=carry.rod_state.position,
+                )
             tip_times.append(float(carry.time))
             tip_positions.append(np.asarray(carry.rod_state.position[:, -1]))
             logger.info(
@@ -217,6 +228,8 @@ def flow_past_rod_case(
                 f"({tip_times[-1] / final_time * 100:2.1f}%), "
                 f"tip: {tip_positions[-1]}"
             )
+        if snaps is not None:
+            snaps.close()
         return np.asarray(tip_times), np.asarray(tip_positions)
 
     timestepper = PositionVerlet()

@@ -165,8 +165,15 @@ def compute_interaction_force_on_eul_and_lag_grid(
 def virtual_boundary_time_step(
     state: VirtualBoundaryState, velocity_mismatch, dt
 ) -> VirtualBoundaryState:
-    """Euler-forward update of the position mismatch (reference :452-459)."""
+    """Euler-forward update of the position mismatch (reference :452-459).
+
+    The mismatch increment is cast to the state dtype at the boundary:
+    float64 rod kinematics feeding a float32 flow (the reference's mixed
+    precision contract) must not promote the carried state, which would
+    change pytree leaf types mid-trace (e.g. across lax.cond branches).
+    """
+    pm = state.position_mismatch
     return VirtualBoundaryState(
-        position_mismatch=state.position_mismatch + dt * velocity_mismatch,
-        time=state.time + dt,
+        position_mismatch=pm + (dt * velocity_mismatch).astype(pm.dtype),
+        time=state.time + jnp.asarray(dt, state.time.dtype),
     )

@@ -68,3 +68,25 @@ def test_fused_sphere_snapshots(tmp_path, monkeypatch):
         tmp_path / "snapshots" / "times.csv", delimiter=",", skiprows=1
     )
     assert manifest.reshape(-1, 2).shape[0] == len(snaps)
+
+
+def test_fused_rod3d_snapshots(tmp_path, monkeypatch):
+    """save_data on the fused 3D rod case writes async .npy snapshots
+    (vorticity + rod positions) instead of raising."""
+    monkeypatch.chdir(tmp_path)
+    from flow_past_rod import flow_past_rod_case
+
+    times, tips = flow_past_rod_case(
+        n_elem=4,
+        grid_size=(16, 16, 32),
+        surface_grid_density_for_largest_element=4,
+        final_time=0.05,
+        fused=True,
+        save_data=True,
+        window=5,
+    )
+    assert len(times) > 0 and np.isfinite(tips).all()
+    snaps = sorted((tmp_path / "snapshots").glob("vorticity_*.npy"))
+    rods = sorted((tmp_path / "snapshots").glob("rod_position_*.npy"))
+    assert len(snaps) >= 1 and len(rods) == len(snaps)
+    assert np.load(snaps[0]).shape == (3, 16, 16, 32)
