@@ -700,19 +700,53 @@ def _select_plane(planes, offset, delta):
     return out
 
 
-def _penalise_kernel(w, ramp_vals, *refs):
+def _penalise_x_inplane(p, ramp_vals):
+    """x-only clamp+ramp of a (3, rows, nx) tile (full x extent)."""
+    w = len(ramp_vals)
+    nx = p.shape[-1]
+    lo = p[:, :, w - 1 : w]
+    hi = p[:, :, nx - w : nx - w + 1]
+    return jnp.concatenate(
+        [lo * r for r in ramp_vals]
+        + [p[:, :, w : nx - w]]
+        + [hi * r for r in reversed(ramp_vals)],
+        axis=2,
+    )
+
+
+def _penalise_kernel(w, ramp_vals, ny, *refs):
+    """Grid (nz, y-tiles): y handled mask/select-wise so a plane can split
+    into row tiles (512^2 planes exceed scoped VMEM whole). The clamp
+    source rows (absolute w-1 and ny-w) are static LOCAL slices - they are
+    only read in the first/last tile, where those local offsets are
+    correct; elsewhere the masks zero their contribution."""
     planes_refs, out_ref = refs[:-1], refs[-1]
     i = pl.program_id(0)
     nz = pl.num_programs(0)
+    j = pl.program_id(1)
     reach = w - 1
     planes = {
         off: planes_refs[off + reach][:, 0] for off in range(-reach, reach + 1)
     }
     c = planes[0]
+    rows = c.shape[1]
     delta = jnp.clip(i, w - 1, nz - w) - i  # source-plane offset
     src = _select_plane(planes, 0, delta)
-    q = _penalise_inplane(src, ramp_vals)
-    out_ref[:, 0] = _z_ramp_weight(i, nz, ramp_vals, c.dtype) * q
+    q = _penalise_x_inplane(src, ramp_vals)
+    # y: per-absolute-row weight + clamped row source
+    abs_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + j * rows
+    wy = jnp.ones((rows, 1), c.dtype)
+    for k, r in enumerate(ramp_vals):
+        wy = jnp.where(abs_r == k, r, wy)
+        wy = jnp.where(abs_r == ny - 1 - k, r, wy)
+    row_lo = q[:, w - 1 : w, :]        # valid only in tile 0 (masked off elsewhere)
+    row_hi = q[:, rows - w : rows - w + 1, :]  # valid only in the last tile
+    m_lo = (abs_r < w)[None]
+    m_hi = (abs_r > ny - 1 - w)[None]
+    y_src = jnp.where(m_lo, row_lo, jnp.where(m_hi, row_hi, q))
+    out_ref[:, 0] = (
+        _z_ramp_weight(i, nz, ramp_vals, c.dtype) * wy[None] * y_src
+    )
 
 
 def _diffusion_at(planes, off, prefac, nz, i):
@@ -749,30 +783,51 @@ def _diffusion_penalise_kernel(w, ramp_vals, prefac_ref, *refs):
     out_ref[:, 0] = _z_ramp_weight(i, nz, ramp_vals, src.dtype) * q
 
 
+# explicit double-buffered VMEM budget for the tiled penalise kernel
+_PENALISE_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_penalise_ytiles(ny, nx, width, itemsize):
+    """Smallest y-tile count whose (2w-1 in + 1 out, double-buffered)
+    working set fits scoped VMEM; None -> jnp fallback."""
+    for yt in (1, 2, 4, 8, 16):
+        if ny % yt:
+            continue
+        rows = ny // yt
+        if rows < 2 * width:
+            break
+        if 2 * (2 * width) * 3 * rows * nx * itemsize <= _PENALISE_VMEM_BUDGET:
+            return yt
+    return None
+
+
 def _penalise_vector_3d_impl(vector_field, width, interpret):
     if width == 0:
         return vector_field
     _, nz, ny, nx = vector_field.shape
     reach = width - 1
+    yt = _pick_penalise_ytiles(ny, nx, width, vector_field.dtype.itemsize)
     if (
-        not _plane_fits(vector_field.shape, 2 * reach + 1)
+        yt is None
         or nz <= 2 * width
         or ny <= 2 * width
         or nx <= 2 * width
     ):
         return _jnp_ops.penalise_field_boundary_vector_3d(vector_field, width)
+    rows = ny // yt
     ramp_vals = _ramp_vals(width)
     plane = lambda off: pl.BlockSpec(
-        (3, 1, ny, nx),
-        lambda i, off=off: (0, jnp.clip(i + off, 0, nz - 1), 0, 0),
+        (3, 1, rows, nx),
+        lambda i, j, off=off: (0, jnp.clip(i + off, 0, nz - 1), j, 0),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        functools.partial(_penalise_kernel, width, ramp_vals),
-        grid=(nz,),
+        functools.partial(_penalise_kernel, width, ramp_vals, ny),
+        grid=(nz, yt),
         in_specs=[plane(off) for off in range(-reach, reach + 1)],
         out_specs=pl.BlockSpec(
-            (3, 1, ny, nx), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+            (3, 1, rows, nx), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(vector_field.shape, vector_field.dtype),
         interpret=interpret,

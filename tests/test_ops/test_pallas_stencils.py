@@ -210,3 +210,22 @@ def test_pallas_diffusion_penalise_grad():
         lambda f: jnp.sum(penalise_field_boundary_vector_3d(f, 2) ** 2)
     )(w)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g2r), atol=1e-5)
+
+
+def test_pallas_penalise_y_tiled(monkeypatch):
+    """With a VMEM budget too small for a whole plane, the penalise kernel
+    splits into y row tiles and still matches the jnp reference (the
+    512^2-plane configuration)."""
+    import sopht_mpi_tpu.ops.pallas_stencils_3d as mod
+    from sopht_mpi_tpu.ops import penalise_field_boundary_vector_3d
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (3, 10, 32, 24), jnp.float64)
+    for width in (1, 2, 3):
+        budget = 2 * (2 * width) * 3 * 8 * 24 * 8 + 64  # forces yt = 4
+        monkeypatch.setattr(mod, "_PENALISE_VMEM_BUDGET", budget)
+        assert mod._pick_penalise_ytiles(32, 24, width, 8) == 4
+        ref = penalise_field_boundary_vector_3d(w, width)
+        out = mod.penalise_field_boundary_vector_3d_pallas(
+            w, width, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-14)
