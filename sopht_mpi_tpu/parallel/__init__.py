@@ -24,3 +24,8 @@ from sopht_mpi_tpu.parallel.fft import (
     distributed_rfftn,
     distributed_irfftn,
 )
+from sopht_mpi_tpu.parallel.distributed import (
+    auto_mesh,
+    compute_mesh_dims,
+    initialize_distributed,
+)

@@ -1,0 +1,48 @@
+"""Multi-host bootstrap helpers (single-process behavior + the
+Compute_dims-equivalent process-grid factoring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sopht_mpi_tpu.parallel import (
+    auto_mesh,
+    compute_mesh_dims,
+    initialize_distributed,
+    shard_scalar_field,
+)
+
+
+def test_initialize_distributed_single_host_noop(monkeypatch):
+    for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+    ):
+        monkeypatch.delenv(k, raising=False)
+    assert initialize_distributed() is False
+
+
+def test_compute_mesh_dims_slab_first():
+    # slab divides -> slab wins (the reference's default rank_distribution)
+    assert compute_mesh_dims(3, 8, (32, 16, 48)) == (8, 1)
+    assert compute_mesh_dims(2, 4, (16, 16)) == (4, 1)
+    # no grid -> slab directly
+    assert compute_mesh_dims(3, 6) == (6, 1)
+
+
+def test_compute_mesh_dims_pencil_fallback():
+    # leading axis too small for a slab -> balanced pencil
+    assert compute_mesh_dims(3, 8, (4, 16, 32)) == (4, 2)
+    assert compute_mesh_dims(3, 8, (2, 8, 32)) == (2, 4)
+    # nothing divides -> error (the reference raises RuntimeError too,
+    # mpi_utils_2d.py:52-58)
+    with pytest.raises(RuntimeError):
+        compute_mesh_dims(3, 8, (3, 5, 32))
+
+
+def test_auto_mesh_shards_and_computes():
+    mesh = auto_mesh(3, (16, 16, 16))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"z": 8, "y": 1}
+    f = shard_scalar_field(jnp.ones((16, 16, 16)), mesh)
+    assert float(jnp.sum(f)) == 16**3
