@@ -32,14 +32,27 @@ def measure(grid, steps):
     from sopht_mpi_tpu.models import scan_steps
 
     fsi_step, (carry,) = _build_fsi_case(grid_size=(grid, grid, grid))
-    # warmup/compile
-    carry, _ = scan_steps(fsi_step, carry, 1, donate=True)
+    # warmup/compile with the SAME static n_steps as the timed call:
+    # n_steps is a static jit argument, so a different warmup length would
+    # leave the timed call to retrace+recompile inside the timer
+    carry, _ = scan_steps(fsi_step, carry, steps, donate=True)
     jax.block_until_ready(carry)
     t0 = time.perf_counter()
     carry, _ = scan_steps(fsi_step, carry, steps, donate=True)
     jax.block_until_ready(carry)
     t1 = time.perf_counter()
     return (t1 - t0) / steps
+
+
+def _cpu_model():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return platform.processor() or platform.machine()
 
 
 def main():
@@ -55,7 +68,7 @@ def main():
     derived = sec_256_1core / ranks  # ideal scaling, generous to the reference
     out = {
         "host": platform.processor() or platform.machine(),
-        "cpu_model": "Intel Xeon @ 2.10GHz (1 core visible)",
+        "cpu_model": _cpu_model(),
         "n_cores": ncores,
         "backend": "XLA CPU (this repo's jnp path, same fused FSI step as bench.py)",
         "measured_sec_per_step_1core": {str(g): round(s, 4) for g, s in results.items()},

@@ -110,6 +110,12 @@ class UnboundedFlowSimulator3D:
         # None = auto (Pallas streaming stencils on real unsharded TPU);
         # tests force True to exercise the kernels in interpret mode on CPU
         self.use_pallas = kwargs.get("use_pallas", None)
+        if self.use_pallas and mesh is not None:
+            raise ValueError(
+                "use_pallas=True is incompatible with a sharded simulator "
+                "(mesh given): the plane-streaming kernels operate on "
+                "unsharded arrays; the jnp ops handle SPMD"
+            )
         self.filter_setting_dict = kwargs.get(
             "filter_setting_dict", {"order": 2, "type": "multiplicative"}
         ) or {"order": 2, "type": "multiplicative"}

@@ -44,6 +44,11 @@ def initialize_distributed(**kwargs) -> bool:
     if getattr(jax.distributed, "is_initialized", None) and (
         jax.distributed.is_initialized()
     ):
+        if kwargs:
+            raise RuntimeError(
+                "jax.distributed is already initialized; the explicit "
+                f"configuration {sorted(kwargs)} cannot be applied"
+            )
         return True
     if not kwargs and not any(os.environ.get(k) for k in _DIST_ENV_HINTS):
         return False

@@ -46,3 +46,17 @@ def test_auto_mesh_shards_and_computes():
     assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"z": 8, "y": 1}
     f = shard_scalar_field(jnp.ones((16, 16, 16)), mesh)
     assert float(jnp.sum(f)) == 16**3
+
+
+def test_use_pallas_rejects_mesh():
+    from sopht_mpi_tpu.models import UnboundedFlowSimulator3D
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    with pytest.raises(ValueError, match="use_pallas"):
+        UnboundedFlowSimulator3D(
+            grid_size=(16, 16, 16),
+            x_range=1.0,
+            kinematic_viscosity=1e-3,
+            mesh=create_mesh(3, (4, 2)),
+            use_pallas=True,
+        )
