@@ -153,6 +153,7 @@ def flow_past_cylinder_fused_case(
     coupling_damping=-20.0,
     precision="single",
     window=500,
+    mesh=None,
 ):
     """Same physics, but the whole coupled loop (CFL dt + IBM + flow step)
     runs as one on-device ``lax.scan`` (models/fsi.py) - ~1.3 ms/step on a
@@ -183,6 +184,7 @@ def flow_past_cylinder_fused_case(
         flow_type="navier_stokes_with_forcing",
         with_free_stream_flow=True,
         real_t=real_t,
+        mesh=mesh,
     )
     cylinder = Cylinder(
         center=(2.5 * cyl_radius, 0.5 * grid_size[0] / grid_size[1]),
@@ -250,6 +252,7 @@ if __name__ == "__main__":
             nondim_final_time=args.final_time,
             grid_size=grid,
             reynolds=args.reynolds,
+            mesh=mesh,
         )
         raise SystemExit(0)
     flow_past_cylinder_boundary_forcing_case(

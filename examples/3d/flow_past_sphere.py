@@ -168,6 +168,7 @@ def flow_past_sphere_fused_case(
     precision="single",
     window=100,
     save_interval=None,
+    mesh=None,
 ):
     """Same physics, whole coupled loop as one on-device ``lax.scan``
     (models/fsi.py). Validated drag: Cd = 1.305 (64^3) / 1.224 (128^3) at
@@ -203,6 +204,7 @@ def flow_past_sphere_fused_case(
         real_t=real_t,
         flow_type="navier_stokes_with_forcing",
         with_free_stream_flow=True,
+        mesh=mesh,
     )
     sphere = Sphere(
         center=np.array(
@@ -309,6 +311,7 @@ if __name__ == "__main__":
             grid_size=(n, n, n),
             precision=args.precision,
             save_interval=args.save_interval,
+            mesh=mesh,
         )
         raise SystemExit(0)
     flow_past_sphere_case(

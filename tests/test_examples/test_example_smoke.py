@@ -90,3 +90,23 @@ def test_fused_rod3d_snapshots(tmp_path, monkeypatch):
     rods = sorted((tmp_path / "snapshots").glob("rod_position_*.npy"))
     assert len(snaps) >= 1 and len(rods) == len(snaps)
     assert np.load(snaps[0]).shape == (3, 16, 16, 32)
+
+
+def test_fused_cases_run_sharded(tmp_path, monkeypatch):
+    """The fused example loops accept a device mesh (--n-devices now works
+    with the default fused path): whole coupled scans over sharded fields."""
+    monkeypatch.chdir(tmp_path)
+    from flow_past_cylinder import flow_past_cylinder_fused_case
+    from flow_past_sphere import flow_past_sphere_fused_case
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    times, cds = flow_past_sphere_fused_case(
+        nondim_time=0.3, grid_size=(16, 16, 16), window=5,
+        mesh=create_mesh(3, (4, 2)),
+    )
+    assert len(times) > 0 and np.isfinite(cds).all()
+    times, cds = flow_past_cylinder_fused_case(
+        nondim_final_time=0.5, grid_size=(32, 64), window=10,
+        mesh=create_mesh(2, (8, 1)),
+    )
+    assert len(times) > 0 and np.isfinite(cds).all()

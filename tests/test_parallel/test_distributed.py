@@ -60,3 +60,40 @@ def test_use_pallas_rejects_mesh():
             mesh=create_mesh(3, (4, 2)),
             use_pallas=True,
         )
+
+
+def test_sharded_convolve_lowers_to_all_to_all():
+    """Regression guard on the compiled collective structure: the
+    distributed free-space convolve must lower to all-to-all pencil
+    transposes - not to all-gathers of the full doubled spectrum (which
+    would silently de-scale the memory story)."""
+    from sopht_mpi_tpu.parallel import create_mesh, distributed_rfftn
+    from sopht_mpi_tpu.parallel.fft import distributed_free_space_convolve
+
+    n = 16
+    mesh = create_mesh(3, (4, 2))
+    rng = np.random.default_rng(0)
+    rhs = shard_scalar_field(
+        jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32), mesh
+    )
+    kernel = shard_scalar_field(
+        jnp.asarray(rng.standard_normal((2 * n, 2 * n, 2 * n)), jnp.float32),
+        mesh,
+    )
+    g = jnp.real(distributed_rfftn(kernel, mesh))
+
+    fn = jax.jit(
+        lambda r, gg: distributed_free_space_convolve(r, gg, mesh)
+    )
+    hlo = fn.lower(rhs, g).compile().as_text()
+    assert "all-to-all" in hlo
+    # the doubled spectrum must never be globally gathered: no all-gather
+    # should produce an array anywhere near the (2n)^3 complex spectrum
+    import re
+
+    for m in re.finditer(r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo):
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        elems = 1
+        for d in dims:
+            elems *= d
+        assert elems < (2 * n) ** 3, f"all-gather of {m.group(0)[:80]}"
