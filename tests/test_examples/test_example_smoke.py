@@ -110,3 +110,13 @@ def test_fused_cases_run_sharded(tmp_path, monkeypatch):
         mesh=create_mesh(2, (8, 1)),
     )
     assert len(times) > 0 and np.isfinite(cds).all()
+    # the coupled rod FSI scan (flow + IBM + Cosserat substeps) sharded
+    # (the 3D module shadows the 2D one on sys.path; use the 3D case)
+    from flow_past_rod import flow_past_rod_case as rod_3d_case
+
+    rod_3d_case(
+        n_elem=4, grid_size=(16, 16, 32),
+        surface_grid_density_for_largest_element=4,
+        final_time=0.05, fused=True, window=5,
+        mesh=create_mesh(3, (4, 2)),
+    )
