@@ -17,3 +17,4 @@ from sopht_mpi_tpu.utils.io import (
 from sopht_mpi_tpu.utils.native_io import AsyncFieldDumper
 from sopht_mpi_tpu.utils.snapshots import SnapshotWriter
 from sopht_mpi_tpu.utils.profiling import block_timer, measure_op_time
+from sopht_mpi_tpu.utils.checkpoint import CarryCheckpointer
