@@ -44,6 +44,7 @@ def flow_past_freely_rotating_rod_case(
     restart_simulation=False,
     fused=False,
     window=50,
+    checkpoint_backend="h5",
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -216,15 +217,27 @@ def flow_past_freely_rotating_rod_case(
 
     if fused:
         # whole coupled step under one jit, scanned in windows; state is
-        # synced back to the host objects only at checkpoint boundaries
+        # synced back to the host objects only at checkpoint boundaries.
+        # checkpoint_backend: "h5" keeps the reference's on-disk parity
+        # (FieldIO + XDMF, host-gathered); "orbax" checkpoints the carry
+        # directly - per-shard async device writes, bit-exact resume
+        # (utils/checkpoint.py).
         from sopht_mpi_tpu.models import (
             build_rod_fsi_step,
             init_rod_fsi_carry,
             scan_steps,
         )
 
+        use_orbax = checkpoint_backend == "orbax"
+        orbax_ckpt = None
+        if use_orbax:
+            from sopht_mpi_tpu.utils import CarryCheckpointer
+
+            orbax_ckpt = CarryCheckpointer(
+                os.path.join(restart_dir, "orbax")
+            )
         checkpoint_index = 0
-        if restart_simulation:
+        if restart_simulation and not use_orbax:
             checkpoint_index = load_latest_checkpoint()
         step = build_rod_fsi_step(
             flow_sim,
@@ -239,6 +252,14 @@ def flow_past_freely_rotating_rod_case(
         carry = init_rod_fsi_carry(
             flow_sim, cosserat_rod_flow_interactor, flow_past_rod
         )
+        if restart_simulation and use_orbax:
+            checkpoint_index = orbax_ckpt.latest_step()
+            assert checkpoint_index is not None, "no orbax checkpoint found"
+            carry = orbax_ckpt.restore(template=carry)
+            logger.info(
+                f"restarted from orbax checkpoint {checkpoint_index} "
+                f"at t={float(carry.time):.6f}"
+            )
 
         def sync_from(c):
             flow_sim._set_state(c.flow_state)
@@ -246,9 +267,18 @@ def flow_past_freely_rotating_rod_case(
             flow_past_rod.state = c.rod_state
             cosserat_rod_flow_interactor.state = c.vb_state
 
+        def checkpoint(index, c):
+            if use_orbax:
+                # wait=True: the loop donates the carry to the next scan,
+                # which would reuse the buffers orbax is still reading
+                orbax_ckpt.save(index, c, wait=True)
+            else:
+                sync_from(c)
+                save_checkpoint(index)
+
         if not restart_simulation:
             checkpoint_index += 1
-            save_checkpoint(checkpoint_index)
+            checkpoint(checkpoint_index, carry)
         save_timer = 0.0
         while float(carry.time) < final_time:
             t_before = float(carry.time)
@@ -256,17 +286,17 @@ def flow_past_freely_rotating_rod_case(
             save_timer += float(carry.time) - t_before
             if save_timer >= save_interval:
                 save_timer = 0.0
-                sync_from(carry)
                 checkpoint_index += 1
-                save_checkpoint(checkpoint_index)
+                checkpoint(checkpoint_index, carry)
                 logger.info(
-                    f"time: {flow_sim.time:.3f} "
-                    f"({flow_sim.time / final_time * 100:2.1f}%), "
-                    f"max_vort: {flow_sim.get_max_vorticity():.4f}"
+                    f"time: {float(carry.time):.3f} "
+                    f"({float(carry.time) / final_time * 100:2.1f}%)"
                 )
-        sync_from(carry)
         checkpoint_index += 1
-        save_checkpoint(checkpoint_index)
+        checkpoint(checkpoint_index, carry)
+        sync_from(carry)
+        if use_orbax:
+            orbax_ckpt.close()
         return flow_past_rod, flow_sim
 
     timestepper = PositionVerlet()
@@ -321,6 +351,11 @@ if __name__ == "__main__":
     parser.add_argument("--precision", default="single")
     parser.add_argument("--restart", action="store_true")
     parser.add_argument(
+        "--checkpoint-backend", choices=("h5", "orbax"), default="h5",
+        help="h5: reference-parity FieldIO+XDMF (host-gathered); orbax: "
+        "per-shard device checkpoints of the carry (fused loop only)",
+    )
+    parser.add_argument(
         "--fused", action="store_true", default=True,
         help="device-scanned fused loop (the default; host loops are "
         "dispatch-latency-bound on a remote TPU)",
@@ -346,4 +381,5 @@ if __name__ == "__main__":
         mesh=mesh,
         restart_simulation=args.restart,
         fused=args.fused,
+        checkpoint_backend=args.checkpoint_backend,
     )
