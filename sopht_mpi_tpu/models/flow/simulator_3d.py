@@ -232,6 +232,24 @@ class UnboundedFlowSimulator3D:
 
         self._step_l1_fn = jax.jit(step_l1)
 
+        if self.flow_type == "navier_stokes_with_forcing":
+            # variant with the full-field forcing-curl + reset skipped:
+            # the fused rigid-FSI step applies the forcing as a static
+            # sparse-window vorticity update BEFORE the flow step (the
+            # forcing support of a fixed body covers a small fraction of
+            # the domain), then steps plain navier_stokes
+            cfg_nf = dict(cfg, flow_type="navier_stokes")
+
+            def step_l1_noforcing(state, dt, free_stream_velocity,
+                                  poisson_greens):
+                return flow_step_3d(
+                    state, dt, free_stream_velocity,
+                    poisson_greens=poisson_greens,
+                    return_velocity_l1_max=True, **cfg_nf,
+                )
+
+            self._step_l1_noforcing_fn = jax.jit(step_l1_noforcing)
+
     @property
     def _poisson_greens(self):
         """The Fourier Green's function, passed as a traced jit argument so

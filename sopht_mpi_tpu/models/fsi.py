@@ -85,16 +85,53 @@ def _flow_dt_fn(flow_sim, dt_prefac):
     return flow_dt
 
 
+def _static_rigid_forcing_window(lag_pos, params, grid_size):
+    """Static ``(z0, z1, y0, y1, x0, x1)`` window covering the delta
+    support of FIXED markers plus the forcing-curl reach, or None when the
+    sparse path would not pay (window covering most of the domain) or
+    would change boundary semantics (support + margin touching a wall).
+    ``pad = 2``: curl support is delta-support +- 1, and the window's own
+    curl ring zeroing then only ever touches cells whose curl is zero."""
+    import numpy as np
+
+    w = params.interp_kernel_width
+    pos = np.asarray(lag_pos)
+    nearest = np.floor(
+        (pos - params.eul_grid_coord_shift) / params.dx
+    ).astype(int)
+    lo = nearest.min(axis=1) - (w - 1)
+    hi = nearest.max(axis=1) + w
+    pad = 2
+    nz, ny, nx = (int(s) for s in grid_size)
+    # marker components ordered (x, y, z); grid axes (z, y, x)
+    x0, x1 = int(lo[0] - pad), int(hi[0] + pad + 1)
+    y0, y1 = int(lo[1] - pad), int(hi[1] + pad + 1)
+    z0, z1 = int(lo[2] - pad), int(hi[2] + pad + 1)
+    if x0 < 0 or y0 < 0 or z0 < 0 or x1 > nx or y1 > ny or z1 > nz:
+        return None  # wall-adjacent support: keep the dense path's clipping
+    if (z1 - z0) * (y1 - y0) * (x1 - x0) >= 0.5 * nz * ny * nx:
+        return None
+    return z0, z1, y0, y1, x0, x1
+
+
 def build_rigid_fsi_step(
     flow_sim,
     interactor,
     dt_prefac=0.5,
     free_stream_fn: Callable | None = None,
+    sparse_forcing: bool | None = None,
 ):
     """One fused coupled step for a fixed rigid body.
 
     :param free_stream_fn: optional ``time -> (dim,) velocity`` (jnp-pure);
         defaults to the zero vector.
+    :param sparse_forcing: apply the IBM forcing as a static sparse-window
+        vorticity update (spread + curl on the support window only, flow
+        stepped without the full-field forcing pass). The markers are
+        build-time constants for a fixed rigid body, so the window is
+        exact. None = auto (3D unsharded with an interior window; measured
+        -5 ms/step at 256^3). The dense path stays the reference-shaped
+        fallback (sharded, 2D, wall-adjacent bodies).
     :returns: ``step(carry: RigidFSICarry) -> (carry, diagnostics)`` where
         diagnostics is the summed Lagrangian forcing (for e.g. drag).
     """
@@ -104,6 +141,28 @@ def build_rigid_fsi_step(
     lag_vel = interactor.forcing_grid.compute_lag_grid_velocity_field()
     flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
     dim = flow_sim.grid_dim
+
+    window = None
+    if (
+        sparse_forcing is not False
+        and dim == 3
+        and flow_sim.mesh is None
+        and flow_sim.flow_type == "navier_stokes_with_forcing"
+        and hasattr(flow_sim, "_step_l1_noforcing_fn")
+    ):
+        window = _static_rigid_forcing_window(
+            lag_pos, params, flow_sim.grid_size
+        )
+    if sparse_forcing is True and window is None:
+        raise ValueError(
+            "sparse_forcing=True requested but unsupported here (needs 3D "
+            "unsharded navier_stokes_with_forcing and an interior window)"
+        )
+    if window is not None:
+        return _build_rigid_fsi_step_sparse(
+            flow_sim, interactor, window, lag_pos, lag_vel, flow_dt,
+            free_stream_fn,
+        )
 
     def step(carry: RigidFSICarry):
         """Reference per-iteration ordering (flow_past_sphere_case.py:
@@ -134,6 +193,87 @@ def build_rigid_fsi_step(
         lag_force_sum = jnp.sum(interaction.lag_forcing, axis=1)
         new_carry = RigidFSICarry(
             flow_state, vb_state, interaction.velocity_mismatch, time + dt,
+            greens, new_l1 if new_l1 is not None else u_l1,
+        )
+        return new_carry, lag_force_sum
+
+    return step
+
+
+def _build_rigid_fsi_step_sparse(
+    flow_sim, interactor, window, lag_pos, lag_vel, flow_dt, free_stream_fn
+):
+    """Sparse-window variant of the rigid FSI step: the IBM spread and the
+    forcing curl act on the static support window only, and the flow
+    advances through the no-forcing step (mathematically identical - the
+    forcing curl commutes into a windowed vorticity add; forcing is zero
+    outside the window by construction)."""
+    from sopht_mpi_tpu.ops.ibm import (
+        interpolation_weights,
+        lagrangian_to_eulerian_spread,
+        nearest_grid_index_and_support,
+    )
+    from sopht_mpi_tpu.ops.stencils_3d import curl_3d
+    from sopht_mpi_tpu.ops.virtual_boundary import LagGridInteraction
+
+    params = interactor.params
+    flow_step_l1 = flow_sim._step_l1_noforcing_fn.__wrapped__
+    z0, z1, y0, y1, x0, x1 = window
+    dim = 3
+    dx = params.dx
+
+    def step(carry: RigidFSICarry):
+        flow_state, vb_state, prev_mismatch, time, greens, u_l1 = carry
+        dt = flow_dt(u_l1)
+        vb_state = virtual_boundary_time_step(vb_state, prev_mismatch, dt)
+        real_t = flow_state.velocity_field.dtype
+        _, support_idx, support_disp = nearest_grid_index_and_support(
+            lag_pos, dx, params.eul_grid_coord_shift,
+            params.interp_kernel_width,
+        )
+        weights = interpolation_weights(support_disp, dx, params.delta_kind)
+        # E->L velocity interpolation gathers from the window only
+        u_win = jax.lax.slice(
+            flow_state.velocity_field,
+            (0, z0, y0, x0), (3, z1, y1, x1),
+        )
+        shifted_idx = support_idx - jnp.asarray(
+            [x0, y0, z0], support_idx.dtype
+        ).reshape(3, 1, 1)
+        from sopht_mpi_tpu.ops.ibm import eulerian_to_lagrangian_interpolation
+
+        flow_velocity = eulerian_to_lagrangian_interpolation(
+            u_win, weights, shifted_idx, dx
+        )
+        velocity_mismatch = flow_velocity - lag_vel
+        lag_forcing = (
+            params.virtual_boundary_stiffness_coeff * vb_state.position_mismatch
+            + params.virtual_boundary_damping_coeff * velocity_mismatch
+        )
+        # L->E spread into the window, curl, and one windowed vorticity add
+        win = jnp.zeros((3, z1 - z0, y1 - y0, x1 - x0), real_t)
+        win = lagrangian_to_eulerian_spread(
+            win, lag_forcing, weights, shifted_idx
+        )
+        pref = jnp.asarray(dt / (2.0 * dx), real_t)
+        curl_win = curl_3d(win, pref)
+        field = flow_state.primary_field
+        field = jax.lax.dynamic_update_slice(
+            field,
+            jax.lax.slice(field, (0, z0, y0, x0), (3, z1, y1, x1)) + curl_win,
+            (0, z0, y0, x0),
+        )
+        fsv = jnp.asarray(
+            free_stream_fn(time)
+            if free_stream_fn is not None
+            else jnp.zeros(dim, real_t),
+            real_t,
+        )
+        flow_state = flow_state._replace(primary_field=field)
+        flow_state, new_l1 = flow_step_l1(flow_state, dt, fsv, greens)
+        lag_force_sum = jnp.sum(lag_forcing, axis=1)
+        new_carry = RigidFSICarry(
+            flow_state, vb_state, velocity_mismatch, time + dt,
             greens, new_l1 if new_l1 is not None else u_l1,
         )
         return new_carry, lag_force_sum

@@ -474,3 +474,63 @@ def test_fsi_scan_pallas_path_is_differentiable(monkeypatch):
     g = jax.grad(loss)(om0)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.linalg.norm(g)) > 0.0
+
+
+def test_rigid_fsi_sparse_forcing_matches_dense():
+    """The static sparse-window forcing path (spread + curl on the support
+    window, no-forcing flow step) equals the dense full-field path: the
+    forcing curl is zero outside the window by construction, so the two
+    differ only by adding exact 0.0 there."""
+    from sopht_mpi_tpu.models import (
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+    )
+
+    def build(sparse):
+        flow_sim = UnboundedFlowSimulator3D(
+            grid_size=(32, 32, 32),
+            x_range=1.0,
+            kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True,
+            real_t=jnp.float64,
+        )
+        sphere = Sphere(
+            center=np.array([0.5, 0.5, 0.5]), radius=0.12, dtype=jnp.float64
+        )
+        grid = SphereForcingGrid(
+            rigid_body=sphere, num_forcing_points_along_equator=10
+        )
+        interactor = RigidBodyFlowInteraction(
+            flow_sim=flow_sim,
+            rigid_body=sphere,
+            forcing_grid=grid,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+        )
+        key = jax.random.PRNGKey(5)
+        flow_sim.primary_field = flow_sim.primary_field + 0.1 * jax.random.normal(
+            key, flow_sim.primary_field.shape, jnp.float64
+        )
+        step = build_rigid_fsi_step(
+            flow_sim,
+            interactor,
+            dt_prefac=0.5,
+            free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
+            sparse_forcing=sparse,
+        )
+        carry, forces = scan_steps(
+            step, init_rigid_fsi_carry(flow_sim, interactor), 3
+        )
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.vb_state.position_mismatch),
+            np.asarray(forces),
+        )
+
+    w_d, m_d, f_d = build(False)
+    w_s, m_s, f_s = build(True)
+    np.testing.assert_allclose(w_s, w_d, atol=1e-14)
+    np.testing.assert_allclose(m_s, m_d, atol=1e-14)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-12)
