@@ -38,6 +38,7 @@ def _baseline_sec_per_step() -> float:
     )
     import sys
 
+    fallback = 0.4513  # the recorded measurement, inlined
     try:
         with open(path) as f:
             return float(
@@ -48,10 +49,10 @@ def _baseline_sec_per_step() -> float:
         # missing/corrupt artifact cannot silently skew vs_baseline
         print(
             f"WARNING: baseline artifact unreadable ({e!r}); using the "
-            "inlined recorded measurement 0.4513 s/step",
+            f"inlined recorded measurement {fallback} s/step",
             file=sys.stderr,
         )
-        return 0.4513  # the recorded measurement, inlined as fallback
+        return fallback
 
 
 BASELINE_SEC_PER_STEP = _baseline_sec_per_step()

@@ -209,6 +209,11 @@ def flow_past_rod_case(
         if save_data:
             from sopht_mpi_tpu.utils import SnapshotWriter
 
+            logger.warning(
+                "fused save_data writes async .npy snapshots "
+                "(vorticity + rod positions) to snapshots/, NOT the host "
+                "loop's FieldIO h5+XDMF set; use --host-loop for h5 output"
+            )
             snaps = SnapshotWriter(
                 interval=final_time / 50, out_dir="snapshots"
             )

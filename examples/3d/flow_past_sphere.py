@@ -235,7 +235,7 @@ def flow_past_sphere_fused_case(
             [far_field_velocity, 0.0, 0.0], real_t
         ),
     )
-    carry = init_rigid_fsi_carry(flow_sim, interactor)
+    carry = init_rigid_fsi_carry(flow_sim, interactor, step)
     drag_scale = (
         0.5 * far_field_velocity**2 * 0.25 * np.pi * sphere_diameter**2
     )

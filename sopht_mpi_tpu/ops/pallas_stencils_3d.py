@@ -660,26 +660,23 @@ def _ramp_vals(width: int):
     ]
 
 
-def _penalise_inplane(p, ramp_vals):
-    """Separable in-plane (y then x) clamp+ramp of a (3, ny, nx) plane."""
+def _penalise_y_inplane(p, ramp_vals):
+    """y-only clamp+ramp of a (3, rows, nx) tile (full y extent)."""
     w = len(ramp_vals)
-    ny, nx = p.shape[-2], p.shape[-1]
+    ny = p.shape[-2]
     lo = p[:, w - 1 : w, :]
     hi = p[:, ny - w : ny - w + 1, :]
-    p = jnp.concatenate(
+    return jnp.concatenate(
         [lo * r for r in ramp_vals]
         + [p[:, w : ny - w, :]]
         + [hi * r for r in reversed(ramp_vals)],
         axis=1,
     )
-    lo = p[:, :, w - 1 : w]
-    hi = p[:, :, nx - w : nx - w + 1]
-    return jnp.concatenate(
-        [lo * r for r in ramp_vals]
-        + [p[:, :, w : nx - w]]
-        + [hi * r for r in reversed(ramp_vals)],
-        axis=2,
-    )
+
+
+def _penalise_inplane(p, ramp_vals):
+    """Separable in-plane (y then x) clamp+ramp of a (3, ny, nx) plane."""
+    return _penalise_x_inplane(_penalise_y_inplane(p, ramp_vals), ramp_vals)
 
 
 def _z_ramp_weight(i, nz, ramp_vals, dtype):

@@ -116,11 +116,20 @@ def compute_interaction_force_on_lag_grid(
         eul_grid_velocity_field, weights, support_idx, params.dx
     )
     velocity_mismatch = flow_velocity - lag_grid_velocity_field
-    lag_forcing = (
-        params.virtual_boundary_stiffness_coeff * state.position_mismatch
-        + params.virtual_boundary_damping_coeff * velocity_mismatch
+    lag_forcing = compute_penalty_force(
+        state.position_mismatch, velocity_mismatch, params
     )
     return LagGridInteraction(lag_forcing, velocity_mismatch, flow_velocity)
+
+
+def compute_penalty_force(position_mismatch, velocity_mismatch, params):
+    """The penalty force law ``k dx_mismatch + c dv`` (reference
+    :399-406) - the single definition shared by the dense and
+    sparse-window interaction paths."""
+    return (
+        params.virtual_boundary_stiffness_coeff * position_mismatch
+        + params.virtual_boundary_damping_coeff * velocity_mismatch
+    )
 
 
 def compute_interaction_force_on_eul_and_lag_grid(
@@ -150,9 +159,8 @@ def compute_interaction_force_on_eul_and_lag_grid(
         eul_grid_velocity_field, weights, support_idx, params.dx
     )
     velocity_mismatch = flow_velocity - lag_grid_velocity_field
-    lag_forcing = (
-        params.virtual_boundary_stiffness_coeff * state.position_mismatch
-        + params.virtual_boundary_damping_coeff * velocity_mismatch
+    lag_forcing = compute_penalty_force(
+        state.position_mismatch, velocity_mismatch, params
     )
     eul_grid_forcing_field = lagrangian_to_eulerian_spread(
         eul_grid_forcing_field, lag_forcing, weights, support_idx

@@ -23,6 +23,11 @@ _DIST_ENV_HINTS = (
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",
     "TPU_WORKER_HOSTNAMES",
+    # Cloud TPU VM runtime signals: jax.distributed auto-detects pod
+    # topology via the metadata server, so the coordinator env vars above
+    # are typically ABSENT on a plain `gcloud compute tpus tpu-vm` slice
+    "TPU_WORKER_ID",
+    "CLOUD_TPU_TASK_ID",
 )
 
 
@@ -50,9 +55,23 @@ def initialize_distributed(**kwargs) -> bool:
                 f"configuration {sorted(kwargs)} cannot be applied"
             )
         return True
-    if not kwargs and not any(os.environ.get(k) for k in _DIST_ENV_HINTS):
+    if not kwargs and not any(
+        os.environ.get(k) is not None for k in _DIST_ENV_HINTS
+    ):
         return False
-    jax.distributed.initialize(**kwargs)
+    if kwargs:
+        jax.distributed.initialize(**kwargs)
+        return True
+    try:
+        jax.distributed.initialize()
+    except Exception as e:  # single-host TPU VM without pod metadata
+        from sopht_mpi_tpu.utils import logger
+
+        logger.warning(
+            f"jax.distributed auto-initialization failed ({e!r}); "
+            "continuing single-host"
+        )
+        return False
     return True
 
 
@@ -66,8 +85,9 @@ def compute_mesh_dims(
     The reference's ``MPI.Compute_dims`` + even-divisibility check
     (mpi_utils_2d.py:47-58): prefer a slab on the leading axis (one ICI
     ring of halo traffic, and the layout every example defaults to), fall
-    back to the most balanced pencil ``(a, b)`` (a >= b) whose axes divide
-    the grid. Raises when no factorization divides the grid evenly.
+    back to the most balanced pencil whose axes divide the grid (on a
+    balance tie, more devices on the leading axis). Raises when no
+    factorization divides the grid evenly.
 
     :param grid_size: optional global grid shape used for divisibility;
         without it the slab shape is returned directly.

@@ -19,11 +19,6 @@ import jax
 import numpy as np
 
 
-def _carry_pytree(carry):
-    """A pure array pytree of the carry (NamedTuples flatten naturally)."""
-    return carry
-
-
 class CarryCheckpointer:
     """Save/restore fused-loop carries (or any array pytree) with orbax.
 
@@ -44,7 +39,7 @@ class CarryCheckpointer:
         """Write checkpoint ``step``; returns immediately (async) unless
         ``wait``."""
         self._mgr.save(
-            int(step), args=self._ocp.args.StandardSave(_carry_pytree(carry))
+            int(step), args=self._ocp.args.StandardSave(carry)
         )
         if wait:
             self._mgr.wait_until_finished()
@@ -66,7 +61,7 @@ class CarryCheckpointer:
         # mesh-REPLICATED arrays, or orbax pins them to one device and the
         # next jitted step fails with incompatible devices.
         mesh = None
-        for leaf in jax.tree_util.tree_leaves(_carry_pytree(template)):
+        for leaf in jax.tree_util.tree_leaves(template):
             sh = getattr(leaf, "sharding", None)
             if isinstance(sh, NamedSharding):
                 mesh = sh.mesh
@@ -78,7 +73,7 @@ class CarryCheckpointer:
                 sh = NamedSharding(mesh, PartitionSpec())
             return jax.ShapeDtypeStruct(np.shape(a), a.dtype, sharding=sh)
 
-        abstract = jax.tree_util.tree_map(absify, _carry_pytree(template))
+        abstract = jax.tree_util.tree_map(absify, template)
         return self._mgr.restore(
             int(step), args=self._ocp.args.StandardRestore(abstract)
         )

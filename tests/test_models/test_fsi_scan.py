@@ -534,3 +534,41 @@ def test_rigid_fsi_sparse_forcing_matches_dense():
     np.testing.assert_allclose(w_s, w_d, atol=1e-14)
     np.testing.assert_allclose(m_s, m_d, atol=1e-14)
     np.testing.assert_allclose(f_s, f_d, atol=1e-12)
+
+
+def test_sparse_forcing_carry_drops_forcing_field():
+    """init_rigid_fsi_carry(step=sparse) shrinks the never-read full-field
+    forcing leaf to a zero-size placeholder, and the scan still runs."""
+    from sopht_mpi_tpu.models import (
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+    )
+
+    flow_sim = UnboundedFlowSimulator3D(
+        grid_size=(32, 32, 32),
+        x_range=1.0,
+        kinematic_viscosity=1e-3,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+        real_t=jnp.float64,
+    )
+    sphere = Sphere(
+        center=np.array([0.5, 0.5, 0.5]), radius=0.12, dtype=jnp.float64
+    )
+    interactor = RigidBodyFlowInteraction(
+        flow_sim=flow_sim,
+        rigid_body=sphere,
+        forcing_grid=SphereForcingGrid(
+            rigid_body=sphere, num_forcing_points_along_equator=10
+        ),
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+    )
+    flow_sim.velocity_field = jnp.ones_like(flow_sim.velocity_field)
+    step = build_rigid_fsi_step(flow_sim, interactor, sparse_forcing=True)
+    carry = init_rigid_fsi_carry(flow_sim, interactor, step)
+    assert carry.flow_state.eul_grid_forcing_field.size == 0
+    carry, forces = scan_steps(step, carry, 2)
+    assert bool(jnp.isfinite(carry.flow_state.primary_field).all())
+    assert np.abs(np.asarray(forces)).max() > 0

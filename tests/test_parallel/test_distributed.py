@@ -15,10 +15,9 @@ from sopht_mpi_tpu.parallel import (
 
 
 def test_initialize_distributed_single_host_noop(monkeypatch):
-    for k in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-    ):
+    from sopht_mpi_tpu.parallel.distributed import _DIST_ENV_HINTS
+
+    for k in _DIST_ENV_HINTS:
         monkeypatch.delenv(k, raising=False)
     assert initialize_distributed() is False
 
