@@ -25,6 +25,7 @@ from sopht_mpi_tpu.models.fsi import (
     RodFSICarry,
     build_rigid_fsi_step,
     build_rod_fsi_step,
+    suggest_rod_forcing_window,
     init_rigid_fsi_carry,
     init_rod_fsi_carry,
     build_flow_only_step,

@@ -319,6 +319,7 @@ def build_rod_fsi_step(
     *,
     rod_dt: float | None = None,
     max_rod_substeps: int | None = None,
+    sparse_forcing_window: tuple[int, int, int] | None = None,
 ):
     """One fused coupled step for a two-way coupled Cosserat rod.
 
@@ -346,6 +347,16 @@ def build_rod_fsi_step(
     The rod must be the only system in ``rod_collection``, already
     ``finalize()``-d, with the ``FlowForces`` coupling NOT registered (the
     flow forces are computed in-trace here).
+
+    ``sparse_forcing_window`` (opt-in, 3D unsharded only): static
+    ``(Wz, Wy, Wx)`` cell counts - the IBM spread + forcing curl then act
+    on a MOVING window of that size tracking the marker support
+    (:func:`suggest_rod_forcing_window` sizes it from the current rod
+    extent). The flow advances through the no-forcing step. Because the
+    markers move, the step's diagnostic becomes ``(lag_force_sum,
+    window_ok)``: ``window_ok`` is False on any step whose support did not
+    fit the window (forcing then clipped - enlarge the window). Check it
+    at scan-window boundaries.
     """
     dynamic = rod_substeps is None
     if dynamic and rod_dt is None:
@@ -373,6 +384,26 @@ def build_rod_fsi_step(
     flow_step_l1 = flow_sim._step_l1_fn.__wrapped__
     flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
     dim = flow_sim.grid_dim
+
+    sparse = sparse_forcing_window is not None
+    if sparse:
+        if (
+            dim != 3
+            or flow_sim.mesh is not None
+            or not hasattr(flow_sim, "_step_l1_noforcing_fn")
+        ):
+            raise ValueError(
+                "sparse_forcing_window needs a 3D unsharded "
+                "navier_stokes_with_forcing simulator"
+            )
+        Wz, Wy, Wx = (int(w) for w in sparse_forcing_window)
+        nz, ny, nx = flow_sim.grid_size
+        if Wz > nz or Wy > ny or Wx > nx:
+            raise ValueError(
+                f"sparse_forcing_window {sparse_forcing_window} exceeds the "
+                f"grid {flow_sim.grid_size}"
+            )
+        flow_step_l1 = flow_sim._step_l1_noforcing_fn.__wrapped__
 
     def rod_flow_loads(rod_state, vb_state, velocity_field):
         interaction = compute_interaction_force_on_lag_grid(
@@ -433,21 +464,74 @@ def build_rod_fsi_step(
             jnp.arange(scan_length, dtype=jnp.int32),
         )
 
-        eul_forcing, interaction = compute_interaction_force_on_eul_and_lag_grid(
-            vb_state,
-            flow_state.eul_grid_forcing_field,
-            flow_state.velocity_field,
-            grid.lag_positions(rod_state),
-            grid.lag_velocities(rod_state),
-            params,
-            reset_eul_grid_forcing_field=True,
-        )
+        lagp = grid.lag_positions(rod_state)
+        if sparse:
+            from sopht_mpi_tpu.ops.ibm import (
+                interpolation_weights,
+                lagrangian_to_eulerian_spread,
+                nearest_grid_index_and_support,
+            )
+            from sopht_mpi_tpu.ops.stencils_3d import curl_3d
+
+            interaction = compute_interaction_force_on_lag_grid(
+                vb_state, flow_state.velocity_field, lagp,
+                grid.lag_velocities(rod_state), params,
+            )
+            # XLA CSEs the support/weight math shared with the call above
+            _, support_idx, support_disp = nearest_grid_index_and_support(
+                lagp, params.dx, params.eul_grid_coord_shift,
+                params.interp_kernel_width,
+            )
+            weights = interpolation_weights(
+                support_disp, params.dx, params.delta_kind
+            )
+            mins = support_idx.min(axis=(1, 2))  # (3,) components x, y, z
+            maxs = support_idx.max(axis=(1, 2))
+            n_xyz = jnp.asarray([nx, ny, nz], support_idx.dtype)
+            w_xyz = jnp.asarray([Wx, Wy, Wz], support_idx.dtype)
+            start = jnp.clip(mins - 2, 0, n_xyz - w_xyz)
+            # valid when the support sits >= 2 cells inside the window (so
+            # the window ring zeroing of curl_3d touches only zero-curl
+            # cells) OR the window is flush with the domain wall on that
+            # side (then its edge semantics - index clipping and ring
+            # zeroing - coincide with the dense path's)
+            lo_ok = (start == 0) | (mins - start >= 2)
+            hi_ok = (start + w_xyz == n_xyz) | (maxs - start <= w_xyz - 3)
+            window_ok = jnp.all(lo_ok & hi_ok)
+            shifted = support_idx - start[:, None, None]
+            win = jnp.zeros((3, Wz, Wy, Wx), real_t)
+            win = lagrangian_to_eulerian_spread(
+                win, interaction.lag_forcing, weights, shifted
+            )
+            curl_win = curl_3d(win, jnp.asarray(dt / (2.0 * params.dx), real_t))
+            zero = jnp.zeros((), start.dtype)
+            starts = (zero, start[2], start[1], start[0])
+            field = flow_state.primary_field
+            field = jax.lax.dynamic_update_slice(
+                field,
+                jax.lax.dynamic_slice(field, starts, (3, Wz, Wy, Wx))
+                + curl_win,
+                starts,
+            )
+            flow_state = flow_state._replace(primary_field=field)
+        else:
+            eul_forcing, interaction = compute_interaction_force_on_eul_and_lag_grid(
+                vb_state,
+                flow_state.eul_grid_forcing_field,
+                flow_state.velocity_field,
+                lagp,
+                grid.lag_velocities(rod_state),
+                params,
+                reset_eul_grid_forcing_field=True,
+            )
+            flow_state = flow_state._replace(
+                eul_grid_forcing_field=eul_forcing
+            )
         fsv = (
             free_stream_fn(time)
             if free_stream_fn is not None
             else jnp.zeros(dim, real_t)
         )
-        flow_state = flow_state._replace(eul_grid_forcing_field=eul_forcing)
         flow_state, new_l1 = flow_step_l1(
             flow_state, dt, jnp.asarray(fsv, real_t), greens
         )
@@ -457,10 +541,29 @@ def build_rod_fsi_step(
                 flow_state, vb_state, rod_state, time + dt, greens,
                 new_l1 if new_l1 is not None else u_l1,
             ),
-            lag_force_sum,
+            (lag_force_sum, window_ok) if sparse else lag_force_sum,
         )
 
     return step
+
+
+def suggest_rod_forcing_window(interactor, rod, grid_size, margin=1.5):
+    """Static ``(Wz, Wy, Wx)`` window cells for
+    ``build_rod_fsi_step(sparse_forcing_window=...)``: the rod's CURRENT
+    per-axis support extent scaled by ``margin`` (headroom for deformation
+    and travel), plus the spread/curl margins, clipped to the grid."""
+    import numpy as np
+
+    params = interactor.params
+    pos = np.asarray(interactor.forcing_grid.lag_positions(rod.state))
+    idx = np.floor(
+        (pos - params.eul_grid_coord_shift) / params.dx
+    ).astype(int)
+    extent = idx.max(axis=1) - idx.min(axis=1) + 2 * params.interp_kernel_width
+    w_xyz = np.ceil(extent * margin).astype(int) + 6
+    nz, ny, nx = (int(v) for v in grid_size)
+    return (min(int(w_xyz[2]), nz), min(int(w_xyz[1]), ny),
+            min(int(w_xyz[0]), nx))
 
 
 def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:

@@ -572,3 +572,87 @@ def test_sparse_forcing_carry_drops_forcing_field():
     carry, forces = scan_steps(step, carry, 2)
     assert bool(jnp.isfinite(carry.flow_state.primary_field).all())
     assert np.abs(np.asarray(forces)).max() > 0
+
+
+def test_rod_fsi_sparse_window_matches_dense():
+    """The moving-window sparse forcing path for rods (opt-in
+    sparse_forcing_window) equals the dense full-field path, and the
+    carried window_ok diagnostic stays True when the window covers the
+    support."""
+    from sopht_mpi_tpu.models import (
+        CosseratRodSurfaceForcingGrid,
+        UnboundedFlowSimulator3D,
+        suggest_rod_forcing_window,
+    )
+    from sopht_mpi_tpu.models.elastica import CosseratRod as _Rod
+
+    def build(window):
+        flow_sim = UnboundedFlowSimulator3D(
+            grid_size=(24, 24, 32),
+            x_range=1.0,
+            kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True,
+            real_t=jnp.float64,
+        )
+        flow_sim.velocity_field = jnp.ones_like(flow_sim.velocity_field)
+        rod = CosseratRod.straight_rod(
+            6,
+            np.array([0.5, 0.4, 0.4]),
+            np.array([0.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0]),
+            base_length=0.3,
+            base_radius=0.02,
+            density=1e3,
+            youngs_modulus=1e5,
+            shear_modulus=1e5 / 1.5,
+        )
+        collection = BaseSystemCollection()
+        collection.append(rod)
+        collection.constrain(rod).using(
+            OneEndFixedBC,
+            constrained_position_idx=(0,),
+            constrained_director_idx=(0,),
+        )
+        collection.finalize()
+        interactor = CosseratRodFlowInteraction(
+            flow_sim=flow_sim,
+            cosserat_rod=rod,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+            forcing_grid_cls=CosseratRodSurfaceForcingGrid,
+            surface_grid_density_for_largest_element=4,
+        )
+        win = (
+            suggest_rod_forcing_window(interactor, rod, flow_sim.grid_size)
+            if window
+            else None
+        )
+        step = build_rod_fsi_step(
+            flow_sim,
+            interactor,
+            collection,
+            rod_substeps=1,
+            dt_prefac=0.5,
+            free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
+            sparse_forcing_window=win,
+        )
+        carry, diag = scan_steps(
+            step, init_rod_fsi_carry(flow_sim, interactor, rod), 3
+        )
+        if window:
+            forces, ok = diag
+            assert bool(jnp.all(ok))
+        else:
+            forces = diag
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.rod_state.position),
+            np.asarray(forces),
+        )
+
+    w_d, p_d, f_d = build(False)
+    w_s, p_s, f_s = build(True)
+    np.testing.assert_allclose(w_s, w_d, atol=1e-14)
+    np.testing.assert_allclose(p_s, p_d, atol=1e-14)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-12)
