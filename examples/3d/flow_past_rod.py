@@ -37,6 +37,7 @@ def flow_past_rod_case(
     save_data=False,
     fused=False,
     window=50,
+    sparse_forcing=False,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -192,6 +193,14 @@ def flow_past_rod_case(
             scan_steps,
         )
 
+        sparse_window = None
+        if sparse_forcing:
+            from sopht_mpi_tpu.models import suggest_rod_forcing_window
+
+            sparse_window = suggest_rod_forcing_window(
+                cosserat_rod_flow_interactor, flow_past_rod, grid_size
+            )
+            logger.info(f"sparse forcing window (Wz, Wy, Wx): {sparse_window}")
         step = build_rod_fsi_step(
             flow_sim,
             cosserat_rod_flow_interactor,
@@ -201,6 +210,7 @@ def flow_past_rod_case(
                 velocity_free_stream, real_t
             ),
             rod_dt=rod_dt,
+            sparse_forcing_window=sparse_window,
         )
         carry = init_rod_fsi_carry(
             flow_sim, cosserat_rod_flow_interactor, flow_past_rod
@@ -219,7 +229,15 @@ def flow_past_rod_case(
             )
         tip_times, tip_positions = [], []
         while float(carry.time) < final_time:
-            carry, _ = scan_steps(step, carry, window, donate=True)
+            carry, diag = scan_steps(step, carry, window, donate=True)
+            if sparse_window is not None and not bool(
+                jnp.all(diag[1])
+            ):
+                raise RuntimeError(
+                    "sparse forcing window no longer covers the rod's "
+                    "marker support - enlarge sparse_forcing_window or "
+                    "disable sparse_forcing"
+                )
             if snaps is not None:
                 snaps.maybe_save(
                     float(carry.time),
