@@ -97,5 +97,77 @@ def main():
     )
 
 
+def _looks_transient(text: str) -> bool:
+    """Known-transient axon-tunnel / remote-TPU fault signatures
+    (PLAN.md "Benchmarking gotchas"): the device comes back after a
+    wedge-out period; the code is not at fault."""
+    return any(
+        s in text
+        for s in (
+            "FAILED_PRECONDITION",
+            "FailedPrecondition",
+            "UNAVAILABLE",
+            "DEADLINE_EXCEEDED",
+            "TPU device error",
+            "Socket closed",
+        )
+    )
+
+
+def _run_with_retries():
+    """Run the measurement in a FRESH subprocess with bounded retries on
+    transient tunnel faults, so a single wedged-relay fault cannot cost the
+    round its bench artifact (round-2 BENCH_r02.json was rc=1 on exactly
+    such a fault). The child prints the single JSON line; the parent
+    forwards only that line to stdout."""
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("BENCH_RETRIES", "3"))
+    last_rc = 1
+    for i in range(attempts):
+        env = dict(os.environ, _SOPHT_BENCH_CHILD="1")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=int(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "3000")),
+            )
+        except subprocess.TimeoutExpired as e:
+            print(f"bench attempt {i + 1}/{attempts}: timeout ({e})",
+                  file=sys.stderr)
+            last_rc = 124
+            time.sleep(60)
+            continue
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)
+        json_lines = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{") and '"metric"' in ln
+        ]
+        if proc.returncode == 0 and json_lines:
+            sys.stdout.write(json_lines[-1] + "\n")
+            return
+        last_rc = proc.returncode or 1
+        blob = proc.stdout + proc.stderr
+        if not _looks_transient(blob):
+            # real failure: forward output and stop retrying
+            sys.stdout.write(proc.stdout)
+            sys.exit(last_rc)
+        print(
+            f"bench attempt {i + 1}/{attempts}: transient device fault "
+            f"(rc={proc.returncode}); backing off before retry",
+            file=sys.stderr,
+        )
+        # after a tunnel fault the device can stay wedged for minutes
+        time.sleep(30 * (i + 1))
+    sys.exit(last_rc)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_SOPHT_BENCH_CHILD"):
+        main()
+    else:
+        _run_with_retries()

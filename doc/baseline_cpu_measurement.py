@@ -31,7 +31,12 @@ def measure(grid, steps):
     from __graft_entry__ import _build_fsi_case
     from sopht_mpi_tpu.models import scan_steps
 
-    fsi_step, (carry,) = _build_fsi_case(grid_size=(grid, grid, grid))
+    # dense reference-shaped IBM path (full-field spread + forcing pass,
+    # the computation the reference's per-rank loop actually performs) -
+    # the baseline must not inherit this repo's sparse-window optimization
+    fsi_step, (carry,) = _build_fsi_case(
+        grid_size=(grid, grid, grid), sparse_forcing=False
+    )
     # warmup/compile with the SAME static n_steps as the timed call:
     # n_steps is a static jit argument, so a different warmup length would
     # leave the timed call to retrace+recompile inside the timer

@@ -323,6 +323,13 @@ if __name__ == "__main__":
         "--host-loop", dest="fused", action="store_false",
         help="host-driven eager loop (CPU debugging)",
     )
+    parser.add_argument(
+        "--sparse-forcing", action="store_true",
+        help="moving-window sparse IBM forcing (fused 3D unsharded only): "
+        "spread + forcing curl act on an auto-sized window tracking the "
+        "rod's marker support (suggest_rod_forcing_window); hard-errors if "
+        "the support ever outgrows the window",
+    )
     args = parser.parse_args()
 
     mesh = None
@@ -340,4 +347,5 @@ if __name__ == "__main__":
         mesh=mesh,
         save_data=args.save_data,
         fused=args.fused,
+        sparse_forcing=args.sparse_forcing,
     )

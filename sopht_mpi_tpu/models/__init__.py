@@ -7,7 +7,12 @@ JAX so the whole FSI step jits.
 
 from sopht_mpi_tpu.models.flow.simulator_2d import UnboundedFlowSimulator2D
 from sopht_mpi_tpu.models.flow.simulator_3d import UnboundedFlowSimulator3D
-from sopht_mpi_tpu.models.rigid_body import Cylinder, RigidBodyState, Sphere
+from sopht_mpi_tpu.models.rigid_body import (
+    Cylinder,
+    RigidBodyState,
+    Sphere,
+    rigid_body_position_verlet_step,
+)
 from sopht_mpi_tpu.models.immersed_body import (
     CircularCylinderForcingGrid,
     CosseratRodElementCentricForcingGrid,
@@ -23,11 +28,17 @@ from sopht_mpi_tpu.models import elastica
 from sopht_mpi_tpu.models.fsi import (
     RigidFSICarry,
     RodFSICarry,
+    MultiBodyFSICarry,
+    RodBody,
+    DynamicRigidBody,
+    FixedRigidBody,
     build_rigid_fsi_step,
     build_rod_fsi_step,
+    build_multi_body_fsi_step,
     suggest_rod_forcing_window,
     init_rigid_fsi_carry,
     init_rod_fsi_carry,
+    init_multi_body_fsi_carry,
     build_flow_only_step,
     init_flow_only_carry,
     scan_steps,

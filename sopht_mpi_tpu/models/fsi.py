@@ -47,6 +47,12 @@ class RigidFSICarry(NamedTuple):
     # no fresh velocity read (on the 3D Pallas path it is reduced inside
     # the curl kernel that produced the velocity)
     velocity_l1_max: jax.Array = None
+    # sparse-window mm-transfer path: per-axis delta weight matrices
+    # (Az, Ay, Ax), each (n_markers, W_axis) - traced arrays (NOT jit
+    # closure constants: the derived (n, Wz*Wy) combined matrix is ~100 MB
+    # at 256^3 and must never be constant-folded into the program payload);
+    # threaded unchanged through every step
+    ibm_mats: tuple = None
 
 
 class RodFSICarry(NamedTuple):
@@ -131,7 +137,12 @@ def build_rigid_fsi_step(
         build-time constants for a fixed rigid body, so the window is
         exact. None = auto (3D unsharded with an interior window; measured
         -5 ms/step at 256^3). The dense path stays the reference-shaped
-        fallback (sharded, 2D, wall-adjacent bodies).
+        fallback (sharded, 2D, wall-adjacent bodies). When the sparse path
+        engages, the returned step has ``uses_sparse_forcing = True`` and a
+        one-time log line records the window; pair it with
+        ``init_rigid_fsi_carry(flow_sim, interactor, step)`` (passing the
+        step!) so the carry drops the never-read full-field forcing leaf
+        (1.6 GB of HBM at 512^3 otherwise held live through the scan).
     :returns: ``step(carry: RigidFSICarry) -> (carry, diagnostics)`` where
         diagnostics is the summed Lagrangian forcing (for e.g. drag).
     """
@@ -159,6 +170,15 @@ def build_rigid_fsi_step(
             "unsharded navier_stokes_with_forcing and an interior window)"
         )
     if window is not None:
+        from sopht_mpi_tpu.utils.logging_utils import logger
+
+        logger.info(
+            "build_rigid_fsi_step: sparse-window IBM forcing engaged "
+            f"(window z{window[0]}:{window[1]} y{window[2]}:{window[3]} "
+            f"x{window[4]}:{window[5]}); pass this step to "
+            "init_rigid_fsi_carry(..., step=step) to also drop the unused "
+            "full-field forcing buffer from the carry"
+        )
         sparse_step = _build_rigid_fsi_step_sparse(
             flow_sim, interactor, window, lag_pos, lag_vel, flow_dt,
             free_stream_fn,
@@ -171,7 +191,7 @@ def build_rigid_fsi_step(
         193-199): integrate the mismatch with the PREVIOUS interaction's
         velocity mismatch, then compute the new interaction, then step
         the flow."""
-        flow_state, vb_state, prev_mismatch, time, greens, u_l1 = carry
+        flow_state, vb_state, prev_mismatch, time, greens, u_l1, _ = carry
         dt = flow_dt(u_l1)
         vb_state = virtual_boundary_time_step(vb_state, prev_mismatch, dt)
         eul_forcing, interaction = compute_interaction_force_on_eul_and_lag_grid(
@@ -209,10 +229,19 @@ def _build_rigid_fsi_step_sparse(
     forcing curl act on the static support window only, and the flow
     advances through the no-forcing step (mathematically identical - the
     forcing curl commutes into a windowed vorticity add; forcing is zero
-    outside the window by construction)."""
+    outside the window by construction).
+
+    Both transfer directions run on the separable-matmul path
+    (ops/ibm.py axis_delta_weight_matrices + *_mm): for fixed markers the
+    per-axis weight matrices are build-time data, carried as traced arrays
+    (RigidFSICarry.ibm_mats) so the ~100 MB combined (n, Wz*Wy) matrix is
+    computed on device and never becomes a compiled-in constant. Measured
+    at 256^3 / 4,586 markers: gather 6.5 -> 3.8 ms, spread 4.0 -> 3.4 ms
+    vs the XLA gather/scatter path."""
     from sopht_mpi_tpu.ops.ibm import (
-        interpolation_weights,
-        lagrangian_to_eulerian_spread,
+        axis_delta_weight_matrices,
+        eulerian_to_lagrangian_interpolation_mm,
+        lagrangian_to_eulerian_spread_mm,
         nearest_grid_index_and_support,
     )
     from sopht_mpi_tpu.ops.stencils_3d import curl_3d
@@ -223,39 +252,52 @@ def _build_rigid_fsi_step_sparse(
     z0, z1, y0, y1, x0, x1 = window
     dim = 3
     dx = params.dx
+    wshape = (z1 - z0, y1 - y0, x1 - x0)
+
+    # build-time (host/eager) A-matrix computation from the constant
+    # markers; init_rigid_fsi_carry uploads these into the carry
+    import numpy as np
+
+    _, support_idx, support_disp = nearest_grid_index_and_support(
+        jnp.asarray(lag_pos), dx, params.eul_grid_coord_shift,
+        params.interp_kernel_width,
+    )
+    shifted_idx = support_idx - jnp.asarray(
+        [x0, y0, z0], support_idx.dtype
+    ).reshape(3, 1, 1)
+    mats_np = tuple(
+        np.asarray(m)
+        for m in axis_delta_weight_matrices(
+            shifted_idx, support_disp, dx, wshape, params.delta_kind
+        )
+    )
 
     def step(carry: RigidFSICarry):
-        flow_state, vb_state, prev_mismatch, time, greens, u_l1 = carry
+        flow_state, vb_state, prev_mismatch, time, greens, u_l1, mats = carry
+        if mats is None:
+            raise ValueError(
+                "sparse rigid FSI step needs the mm weight matrices in the "
+                "carry - build the carry with init_rigid_fsi_carry("
+                "flow_sim, interactor, step) passing THIS step"
+            )
         dt = flow_dt(u_l1)
         vb_state = virtual_boundary_time_step(vb_state, prev_mismatch, dt)
         real_t = flow_state.velocity_field.dtype
-        _, support_idx, support_disp = nearest_grid_index_and_support(
-            lag_pos, dx, params.eul_grid_coord_shift,
-            params.interp_kernel_width,
-        )
-        weights = interpolation_weights(support_disp, dx, params.delta_kind)
-        # E->L velocity interpolation gathers from the window only
+        # E->L velocity interpolation: windowed separable matmuls
         u_win = jax.lax.slice(
             flow_state.velocity_field,
             (0, z0, y0, x0), (3, z1, y1, x1),
         )
-        shifted_idx = support_idx - jnp.asarray(
-            [x0, y0, z0], support_idx.dtype
-        ).reshape(3, 1, 1)
-        from sopht_mpi_tpu.ops.ibm import eulerian_to_lagrangian_interpolation
-
-        flow_velocity = eulerian_to_lagrangian_interpolation(
-            u_win, weights, shifted_idx, dx
+        flow_velocity = eulerian_to_lagrangian_interpolation_mm(
+            u_win, mats, dx
         )
         velocity_mismatch = flow_velocity - lag_vel
         lag_forcing = compute_penalty_force(
             vb_state.position_mismatch, velocity_mismatch, params
         )
         # L->E spread into the window, curl, and one windowed vorticity add
-        win = jnp.zeros((3, z1 - z0, y1 - y0, x1 - x0), real_t)
-        win = lagrangian_to_eulerian_spread(
-            win, lag_forcing, weights, shifted_idx
-        )
+        win = jnp.zeros((3,) + wshape, real_t)
+        win = lagrangian_to_eulerian_spread_mm(win, lag_forcing, mats)
         pref = jnp.asarray(dt / (2.0 * dx), real_t)
         curl_win = curl_3d(win, pref)
         field = flow_state.primary_field
@@ -275,10 +317,11 @@ def _build_rigid_fsi_step_sparse(
         lag_force_sum = jnp.sum(lag_forcing, axis=1)
         new_carry = RigidFSICarry(
             flow_state, vb_state, velocity_mismatch, time + dt,
-            greens, new_l1 if new_l1 is not None else u_l1,
+            greens, new_l1 if new_l1 is not None else u_l1, mats,
         )
         return new_carry, lag_force_sum
 
+    step.ibm_mats_np = mats_np
     return step
 
 
@@ -299,6 +342,7 @@ def init_rigid_fsi_carry(flow_sim, interactor, step=None) -> RigidFSICarry:
                 flow_state.eul_grid_forcing_field.dtype,
             )
         )
+    mats_np = getattr(step, "ibm_mats_np", None)
     return RigidFSICarry(
         flow_state=flow_state,
         vb_state=interactor.state,
@@ -306,6 +350,11 @@ def init_rigid_fsi_carry(flow_sim, interactor, step=None) -> RigidFSICarry:
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
         velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
+        ibm_mats=(
+            None
+            if mats_np is None
+            else tuple(jnp.asarray(m) for m in mats_np)
+        ),
     )
 
 
@@ -545,6 +594,314 @@ def build_rod_fsi_step(
         )
 
     return step
+
+
+class RodBody(NamedTuple):
+    """Multi-body spec: a two-way coupled Cosserat rod.
+
+    ``rod_collection`` must be finalized and contain exactly this one rod
+    (use one collection per rod; several rods = several RodBody entries).
+    The ``FlowForces`` coupling must NOT be registered - flow loads are
+    computed in-trace."""
+
+    interactor: object  # CosseratRodFlowInteraction
+    rod_collection: object  # BaseSystemCollection with one finalized rod
+
+
+class DynamicRigidBody(NamedTuple):
+    """Multi-body spec: a two-way coupled rigid body with dynamics.
+
+    ``rigid_body`` must carry ``mass``/``inertia_body`` (constructed with a
+    ``density``). ``load_fn(state, time) -> (force (3,), torque (3,))``
+    adds user loads (gravity/buoyancy) on top of the flow loads."""
+
+    interactor: object  # RigidBodyFlowInteraction
+    rigid_body: object
+    load_fn: Callable | None = None
+
+
+class FixedRigidBody(NamedTuple):
+    """Multi-body spec: a fixed (or externally prescribed constant-state)
+    rigid body; markers are build-time constants."""
+
+    interactor: object  # RigidBodyFlowInteraction
+
+
+class MultiBodyFSICarry(NamedTuple):
+    flow_state: object
+    body_states: tuple  # per body: RodState | RigidBodyState | None (fixed)
+    vb_states: tuple  # per body VirtualBoundaryState
+    prev_mismatches: tuple  # per body; consumed by FixedRigidBody entries
+    time: jax.Array
+    greens: jax.Array = None  # see RigidFSICarry.greens
+    velocity_l1_max: jax.Array = None  # see RigidFSICarry
+
+
+def build_multi_body_fsi_step(
+    flow_sim,
+    bodies,
+    dt_prefac=0.5,
+    free_stream_fn: Callable | None = None,
+    substeps: int | None = None,
+    *,
+    sub_dt: float | None = None,
+    max_substeps: int | None = None,
+):
+    """One fused coupled step for ANY mix of immersed bodies: Cosserat
+    rods, dynamic rigid bodies, fixed rigid bodies (BASELINE config 5,
+    "3D mixed soft/rigid bodies").
+
+    Mirrors the reference's composed driver loops, where N interactors
+    each accumulate onto the shared ``eul_grid_forcing_field`` before the
+    flow step (the stacked-interactor pattern of
+    /root/reference/examples/3d_examples/FlowPastRodCase/
+    flow_past_rod_case.py:129-152 and flow_past_cylinder.py:149-155):
+
+    - per flow step, ALL substepped bodies (rods + dynamic rigid) take the
+      same ``n_sub`` substeps - each substep computes penalty flow loads
+      from the frozen flow velocity at the current body state, advances the
+      body (rod position-Verlet / rigid position-Verlet) and integrates
+      that body's IBM position mismatch - exactly PyElastica stepping the
+      whole system collection together;
+    - fixed bodies integrate their mismatch once per flow step with the
+      PREVIOUS interaction's velocity mismatch (the
+      ``interactor.time_step(dt); interactor()`` ordering of the reference
+      examples and :func:`build_rigid_fsi_step`);
+    - every body's penalty forcing then spreads onto ONE shared Eulerian
+      forcing field (reset once, accumulated across bodies), and the flow
+      advances.
+
+    Substep control matches :func:`build_rod_fsi_step`: static
+    (``substeps=k``) or dynamic (``sub_dt=...`` + optional
+    ``max_substeps``); with no substepped bodies both may be omitted.
+
+    :returns: ``step(carry: MultiBodyFSICarry) -> (carry, lag_force_sums)``
+        with ``lag_force_sums`` a per-body tuple of (grid_dim,) summed
+        Lagrangian forcing.
+    """
+    from sopht_mpi_tpu.models.rigid_body import (
+        rigid_body_position_verlet_step,
+    )
+
+    bodies = tuple(bodies)
+    if not bodies:
+        raise ValueError("bodies must be non-empty")
+    substepped = [
+        isinstance(b, (RodBody, DynamicRigidBody)) for b in bodies
+    ]
+    any_sub = any(substepped)
+    dynamic = substeps is None and sub_dt is not None
+    if any_sub and substeps is None and sub_dt is None:
+        substeps = 1
+    if substeps is not None and (sub_dt is not None or max_substeps is not None):
+        raise ValueError(
+            "substeps (static mode) conflicts with sub_dt/max_substeps "
+            "(dynamic mode) - pass one or the other"
+        )
+    if dynamic and max_substeps is None:
+        import math
+
+        max_substeps = (
+            math.ceil(
+                flow_sim.diffusion_limited_timestep(dt_prefac) / sub_dt
+            )
+            + 2
+        )
+
+    rod_steps = {}
+    for i, spec in enumerate(bodies):
+        if isinstance(spec, RodBody):
+            assert spec.rod_collection._finalized
+            assert len(spec.rod_collection._systems) == 1, (
+                "one rod per RodBody/collection; use several RodBody "
+                "entries for several rods"
+            )
+            rod_steps[i] = spec.rod_collection._step_fns[0].__wrapped__
+        elif isinstance(spec, DynamicRigidBody):
+            if not hasattr(spec.rigid_body, "mass"):
+                raise ValueError(
+                    "DynamicRigidBody needs a rigid body constructed with "
+                    "a density (mass/inertia_body)"
+                )
+
+    flow_step_l1 = flow_sim._step_l1_fn.__wrapped__
+    flow_dt = _flow_dt_fn(flow_sim, dt_prefac)
+    dim = flow_sim.grid_dim
+    # fixed bodies: markers are constants
+    fixed_lag = {
+        i: (
+            spec.interactor.forcing_grid.compute_lag_grid_position_field(),
+            spec.interactor.forcing_grid.compute_lag_grid_velocity_field(),
+        )
+        for i, spec in enumerate(bodies)
+        if isinstance(spec, FixedRigidBody)
+    }
+
+    def body_substep(i, spec, state, vb, velocity_field, t, dt_sub):
+        """One substep of body i; returns (state, vb)."""
+        grid = spec.interactor.forcing_grid
+        params = spec.interactor.params
+        if isinstance(spec, RodBody):
+            interaction = compute_interaction_force_on_lag_grid(
+                vb, velocity_field, grid.lag_positions(state),
+                grid.lag_velocities(state), params,
+            )
+            forces, torques = grid.body_loads(state, interaction.lag_forcing)
+            pdtype = state.position.dtype
+            state = rod_steps[i](
+                state,
+                t.astype(pdtype),
+                dt_sub.astype(pdtype),
+                forces.astype(pdtype),
+                torques.astype(pdtype),
+            )
+        else:  # DynamicRigidBody
+            interaction = compute_interaction_force_on_lag_grid(
+                vb, velocity_field, grid.lag_positions(state),
+                grid.lag_velocities(state), params,
+            )
+            forces, torques = grid.body_loads(state, interaction.lag_forcing)
+            force = jnp.reshape(forces, (3,))
+            torque = jnp.reshape(torques, (3,))
+            if spec.load_fn is not None:
+                f_extra, t_extra = spec.load_fn(state, t)
+                force = force + jnp.reshape(
+                    jnp.asarray(f_extra, force.dtype), (3,)
+                )
+                torque = torque + jnp.reshape(
+                    jnp.asarray(t_extra, torque.dtype), (3,)
+                )
+            pdtype = state.position.dtype
+            state = rigid_body_position_verlet_step(
+                state,
+                dt_sub.astype(pdtype),
+                force.astype(pdtype),
+                torque.astype(pdtype),
+                spec.rigid_body.mass,
+                jnp.asarray(spec.rigid_body.inertia_body, pdtype),
+            )
+        vb = virtual_boundary_time_step(
+            vb, interaction.velocity_mismatch, dt_sub
+        )
+        return state, vb
+
+    def step(carry: MultiBodyFSICarry):
+        (flow_state, body_states, vb_states, prev_mis, time, greens,
+         u_l1) = carry
+        dt = flow_dt(u_l1)
+        real_t = flow_state.velocity_field.dtype
+
+        if any_sub:
+            if dynamic:
+                n_raw = jnp.floor(
+                    dt / jnp.minimum(dt, sub_dt)
+                ).astype(jnp.int32)
+                n_sub = jnp.clip(n_raw, 1, max_substeps)
+                scan_length = max_substeps
+            else:
+                n_sub = jnp.asarray(substeps, jnp.int32)
+                scan_length = substeps
+            dt_sub = dt / n_sub.astype(dt.dtype)
+
+            def substep(c, i_sub):
+                def active(c):
+                    states, vbs, t = c
+                    new_states, new_vbs = [], []
+                    for i, spec in enumerate(bodies):
+                        if substepped[i]:
+                            s, vb = body_substep(
+                                i, spec, states[i], vbs[i],
+                                flow_state.velocity_field, t, dt_sub,
+                            )
+                        else:
+                            s, vb = states[i], vbs[i]
+                        new_states.append(s)
+                        new_vbs.append(vb)
+                    return (tuple(new_states), tuple(new_vbs), t + dt_sub)
+
+                c = (
+                    jax.lax.cond(i_sub < n_sub, active, lambda c: c, c)
+                    if dynamic
+                    else active(c)
+                )
+                return c, None
+
+            (body_states, vb_states, _), _ = jax.lax.scan(
+                substep,
+                (body_states, vb_states, time),
+                jnp.arange(scan_length, dtype=jnp.int32),
+            )
+
+        # fixed bodies integrate mismatch once with the previous mismatch,
+        # then EVERY body spreads onto the shared forcing field
+        eul_forcing = jnp.zeros_like(flow_state.eul_grid_forcing_field)
+        new_vbs, new_prev, lag_sums = [], [], []
+        for i, spec in enumerate(bodies):
+            vb = vb_states[i]
+            params = spec.interactor.params
+            grid = spec.interactor.forcing_grid
+            if isinstance(spec, FixedRigidBody):
+                vb = virtual_boundary_time_step(vb, prev_mis[i], dt)
+                pos, vel = fixed_lag[i]
+            else:
+                pos = grid.lag_positions(body_states[i])
+                vel = grid.lag_velocities(body_states[i])
+            eul_forcing, interaction = (
+                compute_interaction_force_on_eul_and_lag_grid(
+                    vb, eul_forcing, flow_state.velocity_field, pos, vel,
+                    params,
+                )
+            )
+            new_vbs.append(vb)
+            new_prev.append(interaction.velocity_mismatch)
+            lag_sums.append(jnp.sum(interaction.lag_forcing, axis=1))
+
+        fsv = jnp.asarray(
+            free_stream_fn(time)
+            if free_stream_fn is not None
+            else jnp.zeros(dim, real_t),
+            real_t,
+        )
+        flow_state = flow_state._replace(eul_grid_forcing_field=eul_forcing)
+        flow_state, new_l1 = flow_step_l1(flow_state, dt, fsv, greens)
+        new_carry = MultiBodyFSICarry(
+            flow_state,
+            body_states,
+            tuple(new_vbs),
+            tuple(new_prev),
+            time + dt,
+            greens,
+            new_l1 if new_l1 is not None else u_l1,
+        )
+        return new_carry, tuple(lag_sums)
+
+    return step
+
+
+def init_multi_body_fsi_carry(flow_sim, bodies) -> MultiBodyFSICarry:
+    """Initial carry for :func:`build_multi_body_fsi_step` (fresh
+    interactors, zero mismatch)."""
+    body_states, vb_states, prev = [], [], []
+    for spec in bodies:
+        if isinstance(spec, RodBody):
+            body_states.append(spec.rod_collection._systems[0].state)
+        elif isinstance(spec, DynamicRigidBody):
+            body_states.append(spec.rigid_body.state)
+        else:
+            body_states.append(None)
+        vb_states.append(spec.interactor.state)
+        prev.append(
+            jnp.zeros_like(spec.interactor.state.position_mismatch)
+        )
+    return MultiBodyFSICarry(
+        flow_state=flow_sim._get_state(),
+        body_states=tuple(body_states),
+        vb_states=tuple(vb_states),
+        prev_mismatches=tuple(prev),
+        time=jnp.asarray(flow_sim.time, flow_sim.real_t),
+        greens=flow_sim._poisson_greens,
+        velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
+    )
 
 
 def suggest_rod_forcing_window(interactor, rod, grid_size, margin=1.5):

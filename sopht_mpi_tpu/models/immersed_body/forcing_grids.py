@@ -79,25 +79,49 @@ class CircularCylinderForcingGrid(ImmersedBodyForcingGrid):
         )
 
     def compute_lag_grid_position_field(self):
-        return self.body.state.position[:2, None] + self._local_points
+        return self.lag_positions(self.body.state)
 
     def compute_lag_grid_velocity_field(self):
-        # v + omega x r (z-rotation only in 2D)
-        omega_z = self.body.state.omega[2]
-        r = self._local_points
-        rot = jnp.stack([-omega_z * r[1], omega_z * r[0]])
-        return self.body.state.velocity[:2, None] + rot
+        return self.lag_velocities(self.body.state)
 
-    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
+    # state-parametrized API (same trio as the rod forcing grids) so the
+    # fused FSI builders can track an in-trace dynamic body state
+    def lag_positions(self, state):
+        r = self._rotated_points(state)
+        return state.position[:2, None] + r
+
+    def lag_velocities(self, state):
+        # v + omega x r (z-rotation only in 2D)
+        omega_z = state.omega[2]
+        r = self._rotated_points(state)
+        rot = jnp.stack([-omega_z * r[1], omega_z * r[0]])
+        return state.velocity[:2, None] + rot
+
+    def body_loads(self, state, lag_grid_forcing_field):
+        """(3, 1) global-frame force/torque about the COM from the
+        Lagrangian penalty forcing (Newton's third law minus sign)."""
         forces = jnp.zeros((3, 1), dtype=lag_grid_forcing_field.dtype)
-        forces = forces.at[:2, 0].set(-jnp.sum(lag_grid_forcing_field, axis=1))
-        r = self._local_points
+        forces = forces.at[:2, 0].set(
+            -jnp.sum(lag_grid_forcing_field, axis=1)
+        )
+        r = self._rotated_points(state)
         torque_z = -jnp.sum(
-            r[0] * lag_grid_forcing_field[1] - r[1] * lag_grid_forcing_field[0]
+            r[0] * lag_grid_forcing_field[1]
+            - r[1] * lag_grid_forcing_field[0]
         )
         torques = jnp.zeros((3, 1), dtype=lag_grid_forcing_field.dtype)
         torques = torques.at[2, 0].set(torque_z)
         return forces, torques
+
+    def _rotated_points(self, state):
+        """Body-frame marker offsets rotated into the global frame
+        (z-rotation is the only one that moves in-plane points)."""
+        return (state.director[:2, :2] @ self._local_points).astype(
+            self._local_points.dtype
+        )
+
+    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
+        return self.body_loads(self.body.state, lag_grid_forcing_field)
 
     def get_maximum_lagrangian_grid_spacing(self):
         return 2.0 * np.pi * self.body.radius / self.num_lag_nodes
@@ -137,11 +161,19 @@ class SphereForcingGrid(ImmersedBodyForcingGrid):
         self._max_spacing = 2.0 * np.pi * rigid_body.radius / n_eq
 
     def compute_lag_grid_position_field(self):
-        return self.body.state.position[:, None] + self._local_points
+        return self.lag_positions(self.body.state)
 
     def compute_lag_grid_velocity_field(self):
-        omega = self.body.state.omega
-        r = self._local_points
+        return self.lag_velocities(self.body.state)
+
+    # state-parametrized API (same trio as the rod forcing grids) so the
+    # fused FSI builders can track an in-trace dynamic body state
+    def lag_positions(self, state):
+        return state.position[:, None] + self._rotated_points(state)
+
+    def lag_velocities(self, state):
+        omega = state.omega
+        r = self._rotated_points(state)
         rot = jnp.stack(
             [
                 omega[1] * r[2] - omega[2] * r[1],
@@ -149,11 +181,11 @@ class SphereForcingGrid(ImmersedBodyForcingGrid):
                 omega[0] * r[1] - omega[1] * r[0],
             ]
         )
-        return self.body.state.velocity[:, None] + rot
+        return state.velocity[:, None] + rot
 
-    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
+    def body_loads(self, state, lag_grid_forcing_field):
         forces = -jnp.sum(lag_grid_forcing_field, axis=1, keepdims=True)
-        r = self._local_points
+        r = self._rotated_points(state)
         f = lag_grid_forcing_field
         torques = -jnp.stack(
             [
@@ -163,6 +195,14 @@ class SphereForcingGrid(ImmersedBodyForcingGrid):
             ]
         )
         return forces, torques
+
+    def _rotated_points(self, state):
+        return (state.director @ self._local_points).astype(
+            self._local_points.dtype
+        )
+
+    def transfer_forcing_from_grid_to_body(self, lag_grid_forcing_field):
+        return self.body_loads(self.body.state, lag_grid_forcing_field)
 
     def get_maximum_lagrangian_grid_spacing(self):
         return self._max_spacing

@@ -23,10 +23,16 @@ reference :399-401, :443-445). Grid axes ordered (z?, y, x); marker arrays
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 INTERP_KERNEL_WIDTH = 2
+
+# The separable-matmul transfer einsums MUST run at full float32 on the
+# MXU: the default TPU matmul precision drops inputs to bfloat16, which
+# costs ~3 decimal digits in the delta weights.
+_MM_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def nearest_grid_index_and_support(
@@ -132,6 +138,103 @@ def _support_gather_indices(support_idx, grid_shape):
         jnp.broadcast_to(iy, shape),
         jnp.broadcast_to(ix, shape),
     )
+
+
+def axis_delta_weight_matrices(
+    support_idx, support_disp, dx, window_shape, kind="cosine"
+):
+    """Per-grid-axis dense one-hot delta-factor matrices for the separable
+    (matmul) transfer path.
+
+    The tensor-product structure of the delta function (reference
+    EulerianLagrangianGridCommunicatorMPI2D.py:389-518 builds weights as a
+    per-axis outer product) means the E<->L transfer factorizes per axis.
+    For markers with (window-relative) support indices ``support_idx``
+    (grid_dim, 2w, n) and displacements ``support_disp``, returns a tuple
+    of (n, W_axis) matrices ordered like the grid axes ((z, y, x) in 3D,
+    (y, x) in 2D) such that the full delta weight of marker ``m`` at
+    window cell (z, y, x) is ``Az[m, z] * Ay[m, y] * Ax[m, x]`` -
+    numerically the same weights as :func:`interpolation_weights`,
+    restructured so both transfer directions become MXU matmuls instead of
+    XLA gather/scatter (TPU scatter over colliding marker supports
+    serializes; measured ~2x faster at 4.6k markers / 72^3 window).
+
+    Support indices are CLIPPED to the window per axis (one-hot rows
+    accumulate onto the edge cell), matching
+    :func:`_support_gather_indices` clipping semantics exactly.
+    """
+    grid_dim = support_idx.shape[0]
+    d1 = _DELTA_KERNELS[kind](support_disp, dx)  # (grid_dim, 2w, n)
+    mats = []
+    for g in range(grid_dim):
+        comp = grid_dim - 1 - g  # marker components ordered (x, y[, z])
+        w_axis = int(window_shape[g])
+        idx = jnp.clip(support_idx[comp], 0, w_axis - 1)  # (2w, n)
+        oh = jax.nn.one_hot(idx, w_axis, dtype=d1.dtype)  # (2w, n, W)
+        mats.append(jnp.einsum("sn,snw->nw", d1[comp], oh))
+    return tuple(mats)
+
+
+def eulerian_to_lagrangian_interpolation_mm(eul_grid_field, axis_mats, dx):
+    """Separable-matmul E->L interpolation:
+    ``lag_m = sum_zyx E[z,y,x] Az[m,z] Ay[m,y] Ax[m,x] dx^dim``.
+
+    Same contract/result as :func:`eulerian_to_lagrangian_interpolation`
+    (modulo float summation order) with ``axis_mats`` from
+    :func:`axis_delta_weight_matrices` on the same (window) field. In 3D
+    the z/y axes contract through a combined (n, Wz*Wy) matrix so the only
+    marker-sized intermediate is (c, n, Wx) - never (c, Wz, Wy, n).
+    """
+    grid_dim = len(axis_mats)
+    vector = eul_grid_field.ndim == grid_dim + 1
+    eul = eul_grid_field if vector else eul_grid_field[None]
+    out_dtype = jnp.result_type(eul.dtype, axis_mats[0].dtype)
+    eul = eul.astype(out_dtype)
+    mats = [m.astype(out_dtype) for m in axis_mats]
+    scale = dx**grid_dim
+    if grid_dim == 2:
+        a_y, a_x = mats
+        u = jnp.einsum("ny,cyx->cnx", a_y, eul, precision=_MM_PRECISION)
+    else:
+        a_z, a_y, a_x = mats
+        n = a_z.shape[0]
+        a_zy = (a_z[:, :, None] * a_y[:, None, :]).reshape(n, -1)
+        u = jnp.einsum(
+            "ns,csx->cnx",
+            a_zy,
+            eul.reshape(eul.shape[0], -1, eul.shape[-1]),
+            precision=_MM_PRECISION,
+        )
+    lag = jnp.einsum("cnx,nx->cn", u, a_x, precision=_MM_PRECISION) * scale
+    return lag if vector else lag[0]
+
+
+def lagrangian_to_eulerian_spread_mm(eul_grid_field, lag_grid_field, axis_mats):
+    """Separable-matmul L->E spreading (exact adjoint of the mm
+    interpolation): ``E[z,y,x] += sum_m lag_m Az[m,z] Ay[m,y] Ax[m,x]``.
+
+    Same contract/result as :func:`lagrangian_to_eulerian_spread` (modulo
+    float summation order); no scatter - the marker contraction is one
+    MXU matmul per component batch.
+    """
+    grid_dim = len(axis_mats)
+    vector = lag_grid_field.ndim == 2
+    lag = lag_grid_field if vector else lag_grid_field[None]
+    lag = lag.astype(eul_grid_field.dtype)
+    mats = [m.astype(eul_grid_field.dtype) for m in axis_mats]
+    if grid_dim == 2:
+        a_y, a_x = mats
+        g = lag[:, :, None] * a_x[None]  # (c, n, Wx)
+        add = jnp.einsum("ny,cnx->cyx", a_y, g, precision=_MM_PRECISION)
+    else:
+        a_z, a_y, a_x = mats
+        n = a_z.shape[0]
+        a_zy = (a_z[:, :, None] * a_y[:, None, :]).reshape(n, -1)
+        g = lag[:, :, None] * a_x[None]
+        add = jnp.einsum(
+            "ns,cnx->csx", a_zy, g, precision=_MM_PRECISION
+        ).reshape(lag.shape[0], a_z.shape[1], a_y.shape[1], a_x.shape[1])
+    return eul_grid_field + (add if vector else add[0])
 
 
 def eulerian_to_lagrangian_interpolation(

@@ -37,7 +37,15 @@ class CarryCheckpointer:
 
     def save(self, step: int, carry, wait: bool = False) -> None:
         """Write checkpoint ``step``; returns immediately (async) unless
-        ``wait``."""
+        ``wait``.
+
+        DONATION HAZARD: the fused loops donate the carry's device buffers
+        into the next ``scan_steps(..., donate=True)`` call, which
+        invalidates them while an async save may still be reading. When the
+        next thing you do with ``carry`` is a donating scan, pass
+        ``wait=True`` (or call :meth:`wait_until_finished` before the
+        scan); async saving is only safe when the saved buffers stay
+        alive until the save completes."""
         self._mgr.save(
             int(step), args=self._ocp.args.StandardSave(carry)
         )

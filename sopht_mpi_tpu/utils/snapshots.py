@@ -68,6 +68,10 @@ class SnapshotWriter:
             self._dumper.dump(path, np.asarray(field))
         self._times.append((self._index, time))
         self._index += 1
+        # keep the index->time manifest current after EVERY snapshot (it
+        # is a tiny file): a run that crashes mid-flight must not leave
+        # .npy snapshots on disk with no time metadata
+        self._write_manifest()
         # schedule strictly after `time` (robust to interval << window dt)
         self._next_time = max(
             self._next_time + self.interval,

