@@ -453,6 +453,8 @@ def build_rod_fsi_step(
                 f"grid {flow_sim.grid_size}"
             )
         flow_step_l1 = flow_sim._step_l1_noforcing_fn.__wrapped__
+        n_xyz_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+        w_xyz_arr = jnp.asarray([Wx, Wy, Wz], jnp.int32)
 
     def rod_flow_loads(rod_state, vb_state, velocity_field):
         interaction = compute_interaction_force_on_lag_grid(
@@ -464,6 +466,64 @@ def build_rod_fsi_step(
         )
         forces, torques = grid.body_loads(rod_state, interaction.lag_forcing)
         return forces, torques, interaction.velocity_mismatch
+
+    if sparse:
+        from sopht_mpi_tpu.ops.ibm import (
+            axis_delta_weight_matrices,
+            eulerian_to_lagrangian_interpolation_mm,
+            nearest_grid_index_and_support,
+        )
+        from sopht_mpi_tpu.ops.virtual_boundary import compute_penalty_force
+
+        def window_mats(lagp):
+            """Dynamic window start, per-axis mm weight matrices and the
+            window-validity flag for the CURRENT marker positions. Valid
+            when the support sits >= 2 cells inside the window (the window
+            ring zeroing of curl_3d then only touches zero-curl cells) OR
+            the window is flush with the domain wall on that side (edge
+            semantics - index clipping and ring zeroing - then coincide
+            with the dense path's)."""
+            _, support_idx, support_disp = nearest_grid_index_and_support(
+                lagp, params.dx, params.eul_grid_coord_shift,
+                params.interp_kernel_width,
+            )
+            mins = support_idx.min(axis=(1, 2))  # (3,) components x, y, z
+            maxs = support_idx.max(axis=(1, 2))
+            start = jnp.clip(mins - 2, 0, n_xyz_arr - w_xyz_arr)
+            lo_ok = (start == 0) | (mins - start >= 2)
+            hi_ok = (start + w_xyz_arr == n_xyz_arr) | (
+                maxs - start <= w_xyz_arr - 3
+            )
+            ok = jnp.all(lo_ok & hi_ok)
+            shifted = support_idx - start[:, None, None]
+            mats = axis_delta_weight_matrices(
+                shifted, support_disp, params.dx, (Wz, Wy, Wx),
+                params.delta_kind,
+            )
+            return start, mats, ok
+
+        def slice_window(field, start):
+            zero = jnp.zeros((), start.dtype)
+            return jax.lax.dynamic_slice(
+                field, (zero, start[2], start[1], start[0]), (3, Wz, Wy, Wx)
+            )
+
+        def rod_flow_loads_windowed(rod_state, vb_state, velocity_field):
+            """Same loads as rod_flow_loads, but the E->L velocity gather
+            reads only the moving support window via the separable-matmul
+            path (the other half of the large-marker-count cost)."""
+            lagp = grid.lag_positions(rod_state)
+            start, mats, ok = window_mats(lagp)
+            u_win = slice_window(velocity_field, start)
+            flow_velocity = eulerian_to_lagrangian_interpolation_mm(
+                u_win, mats, params.dx
+            )
+            mismatch = flow_velocity - grid.lag_velocities(rod_state)
+            lag_forcing = compute_penalty_force(
+                vb_state.position_mismatch, mismatch, params
+            )
+            forces, torques = grid.body_loads(rod_state, lag_forcing)
+            return forces, torques, mismatch, ok
 
     def step(carry: RodFSICarry):
         flow_state, vb_state, rod_state, time, greens, u_l1 = carry
@@ -487,10 +547,18 @@ def build_rod_fsi_step(
 
         def substep(c, i):
             def active(c):
-                rod_state, vb_state, t = c
-                forces, torques, mismatch = rod_flow_loads(
-                    rod_state, vb_state, flow_state.velocity_field
-                )
+                rod_state, vb_state, t, ok = c
+                if sparse:
+                    forces, torques, mismatch, sub_ok = (
+                        rod_flow_loads_windowed(
+                            rod_state, vb_state, flow_state.velocity_field
+                        )
+                    )
+                    ok = ok & sub_ok
+                else:
+                    forces, torques, mismatch = rod_flow_loads(
+                        rod_state, vb_state, flow_state.velocity_field
+                    )
                 rod_state = rod_step(
                     rod_state,
                     t.astype(rod_state.position.dtype),
@@ -501,57 +569,43 @@ def build_rod_fsi_step(
                 vb_state = virtual_boundary_time_step(
                     vb_state, mismatch, sub_dt
                 )
-                return (rod_state, vb_state, t + sub_dt)
+                return (rod_state, vb_state, t + sub_dt, ok)
 
             c = jax.lax.cond(i < n_sub, active, lambda c: c, c) \
                 if dynamic else active(c)
             return c, None
 
-        (rod_state, vb_state, _), _ = jax.lax.scan(
+        (rod_state, vb_state, _, substeps_ok), _ = jax.lax.scan(
             substep,
-            (rod_state, vb_state, time),
+            (rod_state, vb_state, time, jnp.asarray(True)),
             jnp.arange(scan_length, dtype=jnp.int32),
         )
 
         lagp = grid.lag_positions(rod_state)
         if sparse:
             from sopht_mpi_tpu.ops.ibm import (
-                interpolation_weights,
-                lagrangian_to_eulerian_spread,
-                nearest_grid_index_and_support,
+                lagrangian_to_eulerian_spread_mm,
             )
             from sopht_mpi_tpu.ops.stencils_3d import curl_3d
 
-            interaction = compute_interaction_force_on_lag_grid(
-                vb_state, flow_state.velocity_field, lagp,
-                grid.lag_velocities(rod_state), params,
+            # windowed mm interaction at the post-substep state: E->L
+            # velocity gather from the moving window, penalty force,
+            # L->E matmul spread into the window (XLA CSEs the window/
+            # weight math shared with the last substep's gather)
+            start, mats, window_ok = window_mats(lagp)
+            window_ok = window_ok & substeps_ok
+            u_win = slice_window(flow_state.velocity_field, start)
+            flow_velocity = eulerian_to_lagrangian_interpolation_mm(
+                u_win, mats, params.dx
             )
-            # XLA CSEs the support/weight math shared with the call above
-            _, support_idx, support_disp = nearest_grid_index_and_support(
-                lagp, params.dx, params.eul_grid_coord_shift,
-                params.interp_kernel_width,
+            velocity_mismatch = (
+                flow_velocity - grid.lag_velocities(rod_state)
             )
-            weights = interpolation_weights(
-                support_disp, params.dx, params.delta_kind
+            lag_forcing = compute_penalty_force(
+                vb_state.position_mismatch, velocity_mismatch, params
             )
-            mins = support_idx.min(axis=(1, 2))  # (3,) components x, y, z
-            maxs = support_idx.max(axis=(1, 2))
-            n_xyz = jnp.asarray([nx, ny, nz], support_idx.dtype)
-            w_xyz = jnp.asarray([Wx, Wy, Wz], support_idx.dtype)
-            start = jnp.clip(mins - 2, 0, n_xyz - w_xyz)
-            # valid when the support sits >= 2 cells inside the window (so
-            # the window ring zeroing of curl_3d touches only zero-curl
-            # cells) OR the window is flush with the domain wall on that
-            # side (then its edge semantics - index clipping and ring
-            # zeroing - coincide with the dense path's)
-            lo_ok = (start == 0) | (mins - start >= 2)
-            hi_ok = (start + w_xyz == n_xyz) | (maxs - start <= w_xyz - 3)
-            window_ok = jnp.all(lo_ok & hi_ok)
-            shifted = support_idx - start[:, None, None]
             win = jnp.zeros((3, Wz, Wy, Wx), real_t)
-            win = lagrangian_to_eulerian_spread(
-                win, interaction.lag_forcing, weights, shifted
-            )
+            win = lagrangian_to_eulerian_spread_mm(win, lag_forcing, mats)
             curl_win = curl_3d(win, jnp.asarray(dt / (2.0 * params.dx), real_t))
             zero = jnp.zeros((), start.dtype)
             starts = (zero, start[2], start[1], start[0])
@@ -573,6 +627,7 @@ def build_rod_fsi_step(
                 params,
                 reset_eul_grid_forcing_field=True,
             )
+            lag_forcing = interaction.lag_forcing
             flow_state = flow_state._replace(
                 eul_grid_forcing_field=eul_forcing
             )
@@ -584,7 +639,7 @@ def build_rod_fsi_step(
         flow_state, new_l1 = flow_step_l1(
             flow_state, dt, jnp.asarray(fsv, real_t), greens
         )
-        lag_force_sum = jnp.sum(interaction.lag_forcing, axis=1)
+        lag_force_sum = jnp.sum(lag_forcing, axis=1)
         return (
             RodFSICarry(
                 flow_state, vb_state, rod_state, time + dt, greens,
@@ -853,7 +908,11 @@ def build_multi_body_fsi_step(
                 )
             )
             new_vbs.append(vb)
-            new_prev.append(interaction.velocity_mismatch)
+            # cast to the carried dtype: float64 rod kinematics feeding a
+            # float32 flow must not promote the carry leaf mid-scan
+            new_prev.append(
+                interaction.velocity_mismatch.astype(prev_mis[i].dtype)
+            )
             lag_sums.append(jnp.sum(interaction.lag_forcing, axis=1))
 
         fsv = jnp.asarray(

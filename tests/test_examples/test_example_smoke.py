@@ -151,3 +151,56 @@ def test_freely_rotating_rod_orbax_restart(tmp_path, monkeypatch):
     rod2, sim2 = flow_past_freely_rotating_rod_case(**kwargs)
     assert sim2.time >= 0.04 > t1
     assert np.isfinite(np.asarray(rod2.position_collection)).all()
+
+
+def test_mixed_rod_sphere_example_runs():
+    """BASELINE config 5 (mixed soft/rigid): the fused multi-body example
+    steps a rod + fixed sphere together and stays finite."""
+    from rod_and_sphere import rod_and_sphere_case
+
+    times, tips, drags = rod_and_sphere_case(
+        n_elem=4,
+        grid_size=(16, 16, 32),
+        surface_grid_density_for_largest_element=4,
+        final_time=0.06,
+        window=5,
+    )
+    assert len(times) >= 1
+    assert np.isfinite(tips).all() and np.isfinite(drags).all()
+
+
+def test_mixed_rod_sphere_example_runs_sharded():
+    """The mixed soft/rigid fused step compiles and runs over a (4,2)
+    pencil mesh (multi-chip production path)."""
+    from rod_and_sphere import rod_and_sphere_case
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    times, tips, drags = rod_and_sphere_case(
+        n_elem=4,
+        grid_size=(16, 16, 32),
+        surface_grid_density_for_largest_element=4,
+        final_time=0.04,
+        window=4,
+        mesh=create_mesh(3, (4, 2)),
+    )
+    assert np.isfinite(tips).all() and np.isfinite(drags).all()
+
+
+def test_sedimenting_sphere_falls_toward_stokes_terminal():
+    """Two-way rigid coupling end-to-end: a dense sphere under gravity +
+    buoyancy accelerates downward and settles into a quasi-steady fall at
+    the Stokes-terminal magnitude up to the documented resolution/
+    confinement corrections (see the example docstring; the integrator
+    itself is validated exactly in test_rigid_body.py)."""
+    from sedimenting_sphere import sedimenting_sphere_case
+
+    times, vels, v_t = sedimenting_sphere_case(
+        grid_size=(32, 32, 32), window=10, n_tau=6.0
+    )
+    ratio = vels[-1] / (-v_t)
+    assert vels[-1] < 0  # falls
+    # 32^3: sphere is ~4 cells across; measured 0.33 with ~50% effective-
+    # radius drag inflation + confinement. Pin the regime, not the digit.
+    assert 0.2 < ratio < 0.8, ratio
+    # quasi-steady: < 10% change over the last two windows
+    assert abs(vels[-1] - vels[-3]) < 0.1 * abs(vels[-1])
