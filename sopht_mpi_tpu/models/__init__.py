@@ -15,6 +15,7 @@ from sopht_mpi_tpu.models.rigid_body import (
 )
 from sopht_mpi_tpu.models.immersed_body import (
     CircularCylinderForcingGrid,
+    CosseratRodEdgeForcingGrid,
     CosseratRodElementCentricForcingGrid,
     CosseratRodFlowInteraction,
     CosseratRodSurfaceForcingGrid,

@@ -5,6 +5,7 @@ from sopht_mpi_tpu.models.immersed_body.forcing_grids import (
     SphereForcingGrid,
 )
 from sopht_mpi_tpu.models.immersed_body.rod_forcing_grids import (
+    CosseratRodEdgeForcingGrid,
     CosseratRodElementCentricForcingGrid,
     CosseratRodSurfaceForcingGrid,
 )
