@@ -10,10 +10,17 @@ pipeline lives in one jitted SPMD program.
 
 Layouts (see parallel/mesh.py for grid conventions):
 
-2D real field (Ny, Nx) sharded P('y', 'x') with mesh ('y','x'), x axis size 1:
-    rfft(x, local) -> pad x-freq to multiple of py -> all_to_all over 'y'
-    (split x-freq, concat y) -> fft(y, local).
-    Fourier layout: (Ny, Fxp) complex, sharded P(None, 'y').
+2D real field (Ny, Nx) sharded P('y', 'x') with mesh ('y','x'):
+    slab (px == 1): rfft(x, local) -> pad x-freq to multiple of py ->
+    all_to_all over 'y' (split x-freq, concat y) -> fft(y, local).
+    Fourier layout: (Ny, Fxp) complex, sharded P('x', 'y').
+    pencil (px > 1; EXCEEDS the reference, whose 2D solver rejects >1
+    distributed dim, UnboundedPoissonSolverMPI2D.py:180-186): all_to_all
+    over 'x' first gathers the full x axis (split y) -> rfft(x, local) ->
+    pad x-freq to a multiple of px*py -> all_to_all over 'x' then 'y'
+    (split x-freq, concat y twice) -> fft(y, local).
+    Fourier layout: (Ny, Fxp) complex, sharded P(None, ('x', 'y'))
+    (x-freq split x-major / y-minor by the transpose order).
 
 3D real field (Nz, Ny, Nx) sharded P('z','y',None) with mesh ('z','y'):
     rfft(x, local) -> pad x-freq to multiple of py -> all_to_all over 'y' ->
@@ -50,15 +57,22 @@ def padded_rfft_size(nx: int, mesh: Mesh | None, grid_dim: int) -> int:
     if mesh is None:
         return nxf
     py = mesh.shape["y"]
+    if grid_dim == 2:
+        # pencil 2D splits the x-freq axis over BOTH mesh axes
+        return _cpad(nxf, py * mesh.shape["x"])
     return _cpad(nxf, py)
 
 
-def fourier_partition_spec(grid_dim: int) -> P:
+def fourier_partition_spec(grid_dim: int, mesh: Mesh | None = None) -> P:
     """PartitionSpec of the Fourier-domain layout.
 
-    In 2D the (trivial, size-1) 'x' mesh axis is placed on the untouched Ny
-    axis so every mesh axis is consumed by the shard_map output spec."""
+    In slab 2D the (trivial, size-1) 'x' mesh axis is placed on the
+    untouched Ny axis so every mesh axis is consumed by the shard_map
+    output spec; in pencil 2D (px > 1) the x-freq axis carries both mesh
+    axes, x-major (the transpose order of the forward pipeline)."""
     if grid_dim == 2:
+        if mesh is not None and mesh.shape["x"] > 1:
+            return P(None, ("x", "y"))
         return P("x", "y")
     elif grid_dim == 3:
         return P(None, "z", "y")
@@ -70,20 +84,32 @@ def fourier_partition_spec(grid_dim: int) -> P:
 # ---------------------------------------------------------------------------
 
 
-def _rfft2_local(field, *, py: int, fxp: int):
+def _rfft2_local(field, *, py: int, px: int, fxp: int):
+    if px > 1:
+        # gather the full x axis on each device (y splits further)
+        field = lax.all_to_all(
+            field, "x", split_axis=0, concat_axis=1, tiled=True
+        )
     fhat = jnp.fft.rfft(field, axis=1)
     fhat = jnp.pad(fhat, ((0, 0), (0, fxp - fhat.shape[1])))
+    if px > 1:
+        fhat = lax.all_to_all(fhat, "x", split_axis=1, concat_axis=0, tiled=True)
     if py > 1:
         fhat = lax.all_to_all(fhat, "y", split_axis=1, concat_axis=0, tiled=True)
     return jnp.fft.fft(fhat, axis=0)
 
 
-def _irfft2_local(fourier, *, py: int, nx: int):
+def _irfft2_local(fourier, *, py: int, px: int, nx: int):
     fhat = jnp.fft.ifft(fourier, axis=0)
     if py > 1:
         fhat = lax.all_to_all(fhat, "y", split_axis=0, concat_axis=1, tiled=True)
+    if px > 1:
+        fhat = lax.all_to_all(fhat, "x", split_axis=0, concat_axis=1, tiled=True)
     fhat = fhat[:, : nx // 2 + 1]
-    return jnp.fft.irfft(fhat, n=nx, axis=1)
+    out = jnp.fft.irfft(fhat, n=nx, axis=1)
+    if px > 1:
+        out = lax.all_to_all(out, "x", split_axis=1, concat_axis=0, tiled=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -127,21 +153,33 @@ def _irfft3_local(fourier, *, pz: int, py: int, nx: int):
 # PFFT (UnboundedPoissonSolverMPI3D.py:190-382).
 
 
-def _convolve2_local(field, greens, *, py: int, ny: int, nx: int, fxp: int):
+def _convolve2_local(field, greens, *, py: int, px: int, ny: int, nx: int,
+                     fxp: int):
     from sopht_mpi_tpu.parallel.mxu_fft import fft_padded, ifft_truncated
 
-    f = jnp.fft.rfft(field, n=2 * nx, axis=1)  # (ny/py, nx+1)
+    if px > 1:
+        field = lax.all_to_all(
+            field, "x", split_axis=0, concat_axis=1, tiled=True
+        )
+    f = jnp.fft.rfft(field, n=2 * nx, axis=1)  # (ny/(py*px), nx+1)
     f = jnp.pad(f, ((0, 0), (0, fxp - f.shape[1])))
+    if px > 1:
+        f = lax.all_to_all(f, "x", split_axis=1, concat_axis=0, tiled=True)
     if py > 1:
         f = lax.all_to_all(f, "y", split_axis=1, concat_axis=0, tiled=True)
-    f = fft_padded(f, 0, 2 * ny)  # (2ny, fxp/py)
+    f = fft_padded(f, 0, 2 * ny)  # (2ny, fxp/(py*px))
     f = f * greens
-    f = ifft_truncated(f, 0, ny)  # (ny, fxp/py)
+    f = ifft_truncated(f, 0, ny)  # (ny, fxp/(py*px))
     if py > 1:
         f = lax.all_to_all(f, "y", split_axis=0, concat_axis=1, tiled=True)
+    if px > 1:
+        f = lax.all_to_all(f, "x", split_axis=0, concat_axis=1, tiled=True)
     f = f[:, : nx + 1]
     out = jnp.fft.irfft(f, n=2 * nx, axis=1)
-    return jax.lax.slice_in_dim(out, 0, nx, axis=1)
+    out = jax.lax.slice_in_dim(out, 0, nx, axis=1)
+    if px > 1:
+        out = lax.all_to_all(out, "x", split_axis=1, concat_axis=0, tiled=True)
+    return out
 
 
 def _pallas_mid_passes_ok(m: int, b: int, *, conv: bool = False) -> bool:
@@ -241,13 +279,10 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
     grid_dim = rhs.ndim
     fxp = padded_rfft_size(2 * rhs.shape[-1], mesh, grid_dim)
     if grid_dim == 2:
-        if mesh.shape["x"] > 1:
-            raise NotImplementedError(
-                "2D distributed FFT supports only slab (y-axis) sharding"
-            )
         ny, nx = rhs.shape
         fn = functools.partial(
-            _convolve2_local, py=mesh.shape["y"], ny=ny, nx=nx, fxp=fxp
+            _convolve2_local, py=mesh.shape["y"], px=mesh.shape["x"],
+            ny=ny, nx=nx, fxp=fxp,
         )
     else:
         nz, ny, nx = rhs.shape
@@ -269,7 +304,7 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
     return shard_map(
         fn,
         mesh=mesh,
-        in_specs=(_grid_spec(grid_dim), fourier_partition_spec(grid_dim)),
+        in_specs=(_grid_spec(grid_dim), fourier_partition_spec(grid_dim, mesh)),
         out_specs=_grid_spec(grid_dim),
         # pallas_call inside the body cannot declare varying-mesh-axes
         # metadata on its out_shape; the specs above pin the layouts
@@ -299,19 +334,16 @@ def distributed_rfftn(field, mesh: Mesh | None):
     spec = _grid_spec(grid_dim)
     fxp = padded_rfft_size(field.shape[-1], mesh, grid_dim)
     if grid_dim == 2:
-        if mesh.shape["x"] > 1:
-            # Parity with the reference 2D solver, which supports only slab
-            # decomposition (UnboundedPoissonSolverMPI2D.py:180-186).
-            raise NotImplementedError(
-                "2D distributed FFT supports only slab (y-axis) sharding"
-            )
-        fn = functools.partial(_rfft2_local, py=mesh.shape["y"], fxp=fxp)
+        fn = functools.partial(
+            _rfft2_local, py=mesh.shape["y"], px=mesh.shape["x"], fxp=fxp
+        )
     else:
         fn = functools.partial(
             _rfft3_local, pz=mesh.shape["z"], py=mesh.shape["y"], fxp=fxp
         )
     return shard_map(
-        fn, mesh=mesh, in_specs=spec, out_specs=fourier_partition_spec(grid_dim)
+        fn, mesh=mesh, in_specs=spec,
+        out_specs=fourier_partition_spec(grid_dim, mesh),
     )(field)
 
 
@@ -326,11 +358,9 @@ def distributed_irfftn(fourier, nx: int, mesh: Mesh | None):
         return jnp.fft.irfft(out[..., : nx // 2 + 1], n=nx, axis=grid_dim - 1)
 
     if grid_dim == 2:
-        if mesh.shape["x"] > 1:
-            raise NotImplementedError(
-                "2D distributed FFT supports only slab (y-axis) sharding"
-            )
-        fn = functools.partial(_irfft2_local, py=mesh.shape["y"], nx=nx)
+        fn = functools.partial(
+            _irfft2_local, py=mesh.shape["y"], px=mesh.shape["x"], nx=nx
+        )
     else:
         fn = functools.partial(
             _irfft3_local, pz=mesh.shape["z"], py=mesh.shape["y"], nx=nx
@@ -338,7 +368,7 @@ def distributed_irfftn(fourier, nx: int, mesh: Mesh | None):
     return shard_map(
         fn,
         mesh=mesh,
-        in_specs=fourier_partition_spec(grid_dim),
+        in_specs=fourier_partition_spec(grid_dim, mesh),
         out_specs=_grid_spec(grid_dim),
     )(fourier)
 

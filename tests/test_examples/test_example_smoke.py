@@ -110,6 +110,14 @@ def test_fused_cases_run_sharded(tmp_path, monkeypatch):
         mesh=create_mesh(2, (8, 1)),
     )
     assert len(times) > 0 and np.isfinite(cds).all()
+    # 2D pencil mesh (EXCEEDS the reference: its 2D solver is slab-only,
+    # UnboundedPoissonSolverMPI2D.py:180-186)
+    times_p, cds_p = flow_past_cylinder_fused_case(
+        nondim_final_time=0.5, grid_size=(32, 64), window=10,
+        mesh=create_mesh(2, (4, 2)),
+    )
+    assert len(times_p) > 0 and np.isfinite(cds_p).all()
+    np.testing.assert_allclose(cds_p, cds, rtol=1e-3, atol=1e-6)
     # the coupled rod FSI scan (flow + IBM + Cosserat substeps) sharded
     # (the 3D module shadows the 2D one on sys.path; use the 3D case)
     from flow_past_rod import flow_past_rod_case as rod_3d_case

@@ -103,7 +103,7 @@ def test_poisson_3d_far_field_physical():
 
 
 @pytest.mark.parametrize(
-    "dim,mesh_shape", [(2, (8, 1)), (2, (4, 1)), (3, (8, 1)), (3, (4, 2))]
+    "dim,mesh_shape", [(2, (8, 1)), (2, (4, 1)), (2, (4, 2)), (2, (2, 4)), (3, (8, 1)), (3, (4, 2))]
 )
 def test_poisson_sharded_matches_single(dim, mesh_shape):
     n = 16

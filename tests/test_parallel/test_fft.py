@@ -24,7 +24,7 @@ def _np_fourier_layout(field):
     return out
 
 
-@pytest.mark.parametrize("mesh_shape", [None, (8, 1), (4, 1), (2, 1)])
+@pytest.mark.parametrize("mesh_shape", [None, (8, 1), (4, 1), (2, 1), (4, 2), (2, 4)])
 def test_distributed_rfftn_2d(precision, mesh_shape):
     real_t = get_real_t(precision)
     ny, nx = 32, 16
@@ -43,6 +43,25 @@ def test_distributed_rfftn_2d(precision, mesh_shape):
     )
     # padded columns exactly zero
     np.testing.assert_array_equal(np.asarray(fhat)[:, nxf:], 0.0)
+
+
+@pytest.mark.parametrize("mesh_shape", [None, (8, 1), (4, 2), (2, 4)])
+def test_distributed_fft_roundtrip_2d(precision, mesh_shape):
+    """2D forward->inverse roundtrip, incl. the pencil (px > 1) transposes
+    (EXCEEDS the reference, whose 2D solver is slab-only,
+    UnboundedPoissonSolverMPI2D.py:180-186)."""
+    real_t = get_real_t(precision)
+    ny, nx = 32, 16
+    rng = np.random.default_rng(3)
+    field = rng.standard_normal((ny, nx)).astype(np.dtype(real_t))
+
+    mesh = None if mesh_shape is None else create_mesh(2, mesh_shape)
+    f = shard_scalar_field(jnp.asarray(field), mesh)
+    fhat = jax.jit(lambda x: distributed_rfftn(x, mesh))(f)
+    back = jax.jit(lambda x: distributed_irfftn(x, nx, mesh))(fhat)
+    np.testing.assert_allclose(
+        np.asarray(back), field, atol=get_test_tol(precision)
+    )
 
 
 @pytest.mark.parametrize("mesh_shape", [None, (8, 1), (4, 2), (2, 4)])
