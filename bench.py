@@ -12,11 +12,12 @@ Mcell-updates/sec/chip").
 
 The reference publishes no numbers (BASELINE.md), and its MPI stack cannot
 be provisioned here (no mpi4py/FFTW/pystencils, no egress), so vs_baseline
-uses a MEASURED proxy: the same fused FSI step timed on the host CPU via
-XLA at 64^3/128^3/256^3 (doc/baseline_cpu_measurement.py, results in
-doc/baseline_cpu_measured.json: 28.88 s/step at 256^3 on 1 core,
+uses a MEASURED proxy: the same fused FSI step - dense reference-shaped
+IBM path, reference-faithful forcing-grid sizing (n_eq = 120 at 256^3) -
+timed on the host CPU via XLA (doc/baseline_cpu_measurement.py, results
+in doc/baseline_cpu_measured.json: 31.50 s/step at 256^3 on 1 core,
 compile excluded), scaled by an IDEAL 64-rank speedup (generous to the
-reference) -> 0.4513 s/step at 256^3. See BASELINE.md for the derivation.
+reference) -> 0.4922 s/step at 256^3. See BASELINE.md for the derivation.
 """
 
 import json
@@ -38,7 +39,7 @@ def _baseline_sec_per_step() -> float:
     )
     import sys
 
-    fallback = 0.4513  # the recorded measurement, inlined
+    fallback = 0.4922  # the recorded measurement, inlined
     try:
         with open(path) as f:
             return float(
