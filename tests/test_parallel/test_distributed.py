@@ -179,3 +179,37 @@ def test_fused_multi_body_step_lowers_to_all_to_all():
         for d in dims:
             elems *= d
         assert elems < (2 * n) ** 3, f"all-gather of {m.group(0)[:80]}"
+
+
+def test_sharded_convolve_2d_pencil_lowers_to_all_to_all():
+    """Same collective-structure guard for the 2D PENCIL path (px > 1;
+    exceeds the reference's slab-only 2D solver): the x-axis gather/split
+    pair plus the y transposes must be all-to-alls, with no all-gather of
+    the doubled spectrum."""
+    from sopht_mpi_tpu.parallel import create_mesh, distributed_rfftn
+    from sopht_mpi_tpu.parallel.fft import distributed_free_space_convolve
+
+    ny, nx = 32, 16
+    mesh = create_mesh(2, (4, 2))
+    rng = np.random.default_rng(1)
+    rhs = shard_scalar_field(
+        jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32), mesh
+    )
+    kernel = shard_scalar_field(
+        jnp.asarray(rng.standard_normal((2 * ny, 2 * nx)), jnp.float32), mesh
+    )
+    g = jnp.real(distributed_rfftn(kernel, mesh))
+
+    fn = jax.jit(
+        lambda r, gg: distributed_free_space_convolve(r, gg, mesh)
+    )
+    hlo = fn.lower(rhs, g).compile().as_text()
+    assert "all-to-all" in hlo
+    import re
+
+    for m in re.finditer(r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo):
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        elems = 1
+        for d in dims:
+            elems *= d
+        assert elems < (2 * ny) * (2 * nx), f"all-gather of {m.group(0)[:80]}"
