@@ -19,8 +19,8 @@ import numpy as np
 
 
 def flow_past_rod_case(
-    n_elem=16,
-    grid_size=(64, 64, 128),
+    n_elem=40,
+    grid_size=(128, 32, 128),
     surface_grid_density_for_largest_element=16,
     cauchy_number=0.1,
     mass_ratio=100.0,
@@ -200,7 +200,15 @@ def flow_past_rod_case(
             sparse_window = suggest_rod_forcing_window(
                 cosserat_rod_flow_interactor, flow_past_rod, grid_size
             )
-            logger.info(f"sparse forcing window (Wz, Wy, Wx): {sparse_window}")
+            if sparse_window is None:
+                logger.warning(
+                    "sparse forcing window would cover most of the grid "
+                    "(rod reach ~ domain size); keeping the dense path"
+                )
+            else:
+                logger.info(
+                    f"sparse forcing window (Wz, Wy, Wx): {sparse_window}"
+                )
         step = build_rod_fsi_step(
             flow_sim,
             cosserat_rod_flow_interactor,
@@ -338,9 +346,14 @@ if __name__ == "__main__":
 
         mesh = create_mesh(3, (args.n_devices, 1))
     nx = args.grid_size_x
+    # reference grid aspect and rod discretization
+    # (flow_past_rod_case.py:310-315): nz = nx, ny = nx/4 - the z extent
+    # must hold the full unit-length rod (start 0.75*z_range, tip
+    # 0.75*z_range - L; z_range < 1.33 L would push the tip through the
+    # domain floor)
     flow_past_rod_case(
-        n_elem=args.n_elem or nx // 8,
-        grid_size=(nx // 2, nx // 2, nx),
+        n_elem=args.n_elem or 5 * nx // 16,
+        grid_size=(nx, nx // 4, nx),
         surface_grid_density_for_largest_element=nx // 8,
         final_time=args.final_time,
         precision=args.precision,

@@ -58,10 +58,15 @@ def rod_and_sphere_case(
     real_t = get_real_t(precision)
     rho_f = 1.0
     u_free_stream = 1.0
-    base_length = 1.0
-    x_range = 1.8 * base_length
+    x_range = 1.8
     y_range = grid_size_y / grid_size_x * x_range
     z_range = grid_size_z / grid_size_x * x_range
+    # the rod must FIT the domain's z extent: it hangs from 0.85*z_range,
+    # so base_length = 0.5*z_range leaves the tip at 0.35*z_range - well
+    # interior for any grid aspect (a unit-length rod like the flow-past-
+    # rod benchmark would poke through the floor at the default
+    # nz = nx/2 aspect)
+    base_length = 0.5 * z_range
     velocity_free_stream = np.array([u_free_stream, 0.0, 0.0])
 
     # ---- flexible rod (hanging across the stream; same nondim groups as
@@ -70,7 +75,7 @@ def rod_and_sphere_case(
     start = np.array([0.25 * x_range, 0.5 * y_range, 0.85 * z_range])
     direction = np.array([0.0, 0.0, -1.0])
     normal = np.array([0.0, 1.0, 0.0])
-    base_diameter = y_range / 5.0
+    base_diameter = base_length / 5.0
     base_radius = base_diameter / 2.0
     base_area = np.pi * base_radius**2
     rho_s = mass_ratio * rho_f

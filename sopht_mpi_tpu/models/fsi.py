@@ -588,10 +588,10 @@ def build_rod_fsi_step(
             )
             from sopht_mpi_tpu.ops.stencils_3d import curl_3d
 
-            # windowed mm interaction at the post-substep state: E->L
-            # velocity gather from the moving window, penalty force,
-            # L->E matmul spread into the window (XLA CSEs the window/
-            # weight math shared with the last substep's gather)
+            # windowed mm interaction at the POST-substep state (the last
+            # substep's gather ran at the pre-substep positions, so the
+            # window/weight math here is a genuine recompute - O(n * W)
+            # one-hot builds, small next to the windowed transfer itself)
             start, mats, window_ok = window_mats(lagp)
             window_ok = window_ok & substeps_ok
             u_win = slice_window(flow_state.velocity_field, start)
@@ -725,6 +725,15 @@ def build_multi_body_fsi_step(
     - every body's penalty forcing then spreads onto ONE shared Eulerian
       forcing field (reset once, accumulated across bodies), and the flow
       advances.
+
+    NOTE: the mismatch-integrate / interact / flow-step ordering contract
+    above is implemented independently here and in
+    :func:`build_rigid_fsi_step` / :func:`build_rod_fsi_step` (whose carry
+    types and sparse-window fast paths are public API and do not transfer
+    1:1); any change to the ordering must be applied to all three, and the
+    bit-parity oracles (test_fsi_scan.py::
+    test_multi_body_single_fixed_matches_rigid_builder and
+    ::test_multi_body_rod_plus_cylinder_matches_host_loop) are the guard.
 
     Substep control matches :func:`build_rod_fsi_step`: static
     (``substeps=k``) or dynamic (``sub_dt=...`` + optional
@@ -963,23 +972,37 @@ def init_multi_body_fsi_carry(flow_sim, bodies) -> MultiBodyFSICarry:
     )
 
 
-def suggest_rod_forcing_window(interactor, rod, grid_size, margin=1.5):
+def suggest_rod_forcing_window(
+    interactor, rod, grid_size, margin=1.1, max_grid_fraction=0.7
+):
     """Static ``(Wz, Wy, Wx)`` window cells for
-    ``build_rod_fsi_step(sparse_forcing_window=...)``: the rod's CURRENT
-    per-axis support extent scaled by ``margin`` (headroom for deformation
-    and travel), plus the spread/curl margins, clipped to the grid."""
+    ``build_rod_fsi_step(sparse_forcing_window=...)``, sized from the
+    rod's REACHABLE envelope: an (almost) inextensible rod of length L and
+    radius r always fits a per-axis box of ``L + 2r`` no matter how it
+    bends or reorients, so the window (that envelope times ``margin`` for
+    residual stretch, plus the delta-support/curl margins) provably covers
+    the instantaneous marker support for the whole run - the earlier
+    current-extent heuristic was outgrown mid-run by a flapping rod whose
+    perpendicular bounding box grows from ~one diameter to ~L as it bends
+    (measured in the round-3 physics-long validation).
+
+    Returns ``None`` when the windowed volume would exceed
+    ``max_grid_fraction`` of the grid - the dense path is then the better
+    choice (callers pass ``sparse_forcing_window=None`` through).
+    """
     import numpy as np
 
     params = interactor.params
-    pos = np.asarray(interactor.forcing_grid.lag_positions(rod.state))
-    idx = np.floor(
-        (pos - params.eul_grid_coord_shift) / params.dx
-    ).astype(int)
-    extent = idx.max(axis=1) - idx.min(axis=1) + 2 * params.interp_kernel_width
-    w_xyz = np.ceil(extent * margin).astype(int) + 6
+    lengths = np.asarray(rod.params.rest_lengths)
+    radius = float(np.asarray(rod.params.radius).max())
+    reach = float(lengths.sum()) + 2.0 * radius
+    cells = int(np.ceil(margin * reach / params.dx))
+    w = cells + 2 * params.interp_kernel_width + 6
     nz, ny, nx = (int(v) for v in grid_size)
-    return (min(int(w_xyz[2]), nz), min(int(w_xyz[1]), ny),
-            min(int(w_xyz[0]), nx))
+    win = (min(w, nz), min(w, ny), min(w, nx))
+    if np.prod(win) > max_grid_fraction * nz * ny * nx:
+        return None
+    return win
 
 
 def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:

@@ -78,7 +78,9 @@ def test_fused_rod3d_snapshots(tmp_path, monkeypatch):
 
     times, tips = flow_past_rod_case(
         n_elem=4,
-        grid_size=(16, 16, 32),
+        grid_size=(32, 8, 32),  # reference aspect nz=nx, ny=nx/4: the
+        # unit-length rod (start 0.75 z_range, tip 0.75 z_range - 1) only
+        # fits the domain when z_range = 1.8
         surface_grid_density_for_largest_element=4,
         final_time=0.05,
         fused=True,
@@ -89,7 +91,7 @@ def test_fused_rod3d_snapshots(tmp_path, monkeypatch):
     snaps = sorted((tmp_path / "snapshots").glob("vorticity_*.npy"))
     rods = sorted((tmp_path / "snapshots").glob("rod_position_*.npy"))
     assert len(snaps) >= 1 and len(rods) == len(snaps)
-    assert np.load(snaps[0]).shape == (3, 16, 16, 32)
+    assert np.load(snaps[0]).shape == (3, 32, 8, 32)
 
 
 def test_fused_cases_run_sharded(tmp_path, monkeypatch):
@@ -123,7 +125,7 @@ def test_fused_cases_run_sharded(tmp_path, monkeypatch):
     from flow_past_rod import flow_past_rod_case as rod_3d_case
 
     rod_3d_case(
-        n_elem=4, grid_size=(16, 16, 32),
+        n_elem=4, grid_size=(32, 8, 32),
         surface_grid_density_for_largest_element=4,
         final_time=0.05, fused=True, window=5,
         mesh=create_mesh(3, (4, 2)),

@@ -14,6 +14,23 @@ from sopht_mpi_tpu.parallel import (
 )
 
 
+def assert_collectives_are_all_to_all(hlo: str, doubled_elems: int):
+    """Shared HLO collective pin: all-to-all transposes present, and no
+    all-gather producing anything near the doubled-spectrum size
+    (``doubled_elems``), which would silently de-scale the memory story."""
+    import re
+
+    assert "all-to-all" in hlo
+    for m in re.finditer(
+        r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo
+    ):
+        dims = [int(d) for d in m.group(2).split(",") if d]
+        elems = 1
+        for d in dims:
+            elems *= d
+        assert elems < doubled_elems, f"all-gather of {m.group(0)[:80]}"
+
+
 def test_initialize_distributed_single_host_noop(monkeypatch):
     from sopht_mpi_tpu.parallel.distributed import _DIST_ENV_HINTS
 
@@ -85,17 +102,7 @@ def test_sharded_convolve_lowers_to_all_to_all():
         lambda r, gg: distributed_free_space_convolve(r, gg, mesh)
     )
     hlo = fn.lower(rhs, g).compile().as_text()
-    assert "all-to-all" in hlo
-    # the doubled spectrum must never be globally gathered: no all-gather
-    # should produce an array anywhere near the (2n)^3 complex spectrum
-    import re
-
-    for m in re.finditer(r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        elems = 1
-        for d in dims:
-            elems *= d
-        assert elems < (2 * n) ** 3, f"all-gather of {m.group(0)[:80]}"
+    assert_collectives_are_all_to_all(hlo, (2 * n) ** 3)
 
 
 def test_fused_fsi_step_lowers_to_all_to_all():
@@ -104,8 +111,6 @@ def test_fused_fsi_step_lowers_to_all_to_all():
     structure of its parts: all-to-all FFT transposes, and no all-gather
     anywhere near the full doubled spectrum (the first real pod run must
     hold no surprises - VERDICT round-2 next-step 9)."""
-    import re
-
     from __graft_entry__ import _build_fsi_case
     from sopht_mpi_tpu.parallel import create_mesh
 
@@ -113,15 +118,7 @@ def test_fused_fsi_step_lowers_to_all_to_all():
     mesh = create_mesh(3, (4, 2))
     step, (carry,) = _build_fsi_case(grid_size=(n, n, n), mesh=mesh)
     hlo = jax.jit(step).lower(carry).compile().as_text()
-    assert "all-to-all" in hlo
-    for m in re.finditer(
-        r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo
-    ):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        elems = 1
-        for d in dims:
-            elems *= d
-        assert elems < (2 * n) ** 3, f"all-gather of {m.group(0)[:80]}"
+    assert_collectives_are_all_to_all(hlo, (2 * n) ** 3)
 
 
 def test_fused_multi_body_step_lowers_to_all_to_all():
@@ -170,15 +167,7 @@ def test_fused_multi_body_step_lowers_to_all_to_all():
     step = build_multi_body_fsi_step(flow_sim, bodies)
     carry = init_multi_body_fsi_carry(flow_sim, bodies)
     hlo = jax.jit(step).lower(carry).compile().as_text()
-    assert "all-to-all" in hlo
-    for m in re.finditer(
-        r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo
-    ):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        elems = 1
-        for d in dims:
-            elems *= d
-        assert elems < (2 * n) ** 3, f"all-gather of {m.group(0)[:80]}"
+    assert_collectives_are_all_to_all(hlo, (2 * n) ** 3)
 
 
 def test_sharded_convolve_2d_pencil_lowers_to_all_to_all():
@@ -204,12 +193,4 @@ def test_sharded_convolve_2d_pencil_lowers_to_all_to_all():
         lambda r, gg: distributed_free_space_convolve(r, gg, mesh)
     )
     hlo = fn.lower(rhs, g).compile().as_text()
-    assert "all-to-all" in hlo
-    import re
-
-    for m in re.finditer(r"all-gather\(?[^=]*=\s*\S*?([cf]\d+)\[([\d,]*)\]", hlo):
-        dims = [int(d) for d in m.group(2).split(",") if d]
-        elems = 1
-        for d in dims:
-            elems *= d
-        assert elems < (2 * ny) * (2 * nx), f"all-gather of {m.group(0)[:80]}"
+    assert_collectives_are_all_to_all(hlo, (2 * ny) * (2 * nx))
