@@ -37,7 +37,7 @@ def flow_past_rod_case(
     save_data=False,
     fused=False,
     window=50,
-    sparse_forcing=False,
+    sparse_forcing=None,
 ):
     import jax.numpy as jnp
     from sopht_mpi_tpu.models import (
@@ -193,8 +193,13 @@ def flow_past_rod_case(
             scan_steps,
         )
 
+        # sparse_forcing: None = auto (default since the physics-long
+        # sparse-vs-dense validation: max tip deviation 2.0e-5 of rod
+        # length over t*=2 at 256x64x256 reference-faithful geometry,
+        # 1.22x faster wall - doc/validation_rod_sparse_vs_dense.json);
+        # True = require it; False = dense reference-shaped path.
         sparse_window = None
-        if sparse_forcing:
+        if sparse_forcing is not False and mesh is None:
             from sopht_mpi_tpu.models import suggest_rod_forcing_window
 
             sparse_window = suggest_rod_forcing_window(
@@ -209,6 +214,10 @@ def flow_past_rod_case(
                 logger.info(
                     f"sparse forcing window (Wz, Wy, Wx): {sparse_window}"
                 )
+        elif sparse_forcing is True:
+            raise ValueError(
+                "sparse_forcing=True needs the fused 3D unsharded path"
+            )
         step = build_rod_fsi_step(
             flow_sim,
             cosserat_rod_flow_interactor,
@@ -263,6 +272,8 @@ def flow_past_rod_case(
             snaps.close()
         return np.asarray(tip_times), np.asarray(tip_positions)
 
+    if sparse_forcing is True:
+        raise ValueError("sparse_forcing=True needs the fused loop")
     timestepper = PositionVerlet()
     do_step, stages_and_updates = extend_stepper_interface(
         timestepper, flow_past_sim
@@ -332,11 +343,19 @@ if __name__ == "__main__":
         help="host-driven eager loop (CPU debugging)",
     )
     parser.add_argument(
-        "--sparse-forcing", action="store_true",
-        help="moving-window sparse IBM forcing (fused 3D unsharded only): "
-        "spread + forcing curl act on an auto-sized window tracking the "
-        "rod's marker support (suggest_rod_forcing_window); hard-errors if "
-        "the support ever outgrows the window",
+        "--sparse-forcing", dest="sparse_forcing", action="store_true",
+        default=None,
+        help="require moving-window sparse IBM forcing (fused 3D unsharded "
+        "only): spread + forcing curl act on an auto-sized window tracking "
+        "the rod's marker support (suggest_rod_forcing_window); hard-errors "
+        "if the support ever outgrows the window. DEFAULT is auto: sparse "
+        "when applicable and the window fits, dense otherwise (validated "
+        "sparse==dense to 2e-5 tip deviation over t*=2 at 256x64x256, "
+        "doc/validation_rod_sparse_vs_dense.json)",
+    )
+    parser.add_argument(
+        "--dense-forcing", dest="sparse_forcing", action="store_false",
+        help="force the dense reference-shaped IBM forcing path",
     )
     args = parser.parse_args()
 
