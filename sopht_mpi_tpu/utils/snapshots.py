@@ -31,7 +31,8 @@ class SnapshotWriter:
     >>> snaps.close()
 
     Files: ``<out_dir>/<name>_<index:04d>.npy`` plus a ``times.csv``
-    (index, time) manifest written at close/flush.
+    (index, time) manifest rewritten after every snapshot, so a crashed
+    run never leaves snapshots without their time metadata.
     """
 
     def __init__(self, interval: float, out_dir: str = "snapshots"):
