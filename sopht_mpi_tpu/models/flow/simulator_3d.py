@@ -340,17 +340,39 @@ def compute_flow_velocity_3d(
     inside the curl kernel on the Pallas path) when
     ``return_velocity_l1_max``.
 
-    (The fully spectral fused curl,
-    ``UnboundedPoissonSolver3D.velocity_from_vorticity_spectral``, is
-    numerically identical but measured slower on TPU: the curl then acts on
-    the 8x-larger doubled spectral arrays instead of the truncated real
-    ones.)"""
+    With ``poisson.USE_FUSED_SPECTRAL_CURL`` (opt-in; measured slightly
+    slower at 256^3 but one 3-vector HBM transient lighter - see the flag's
+    comment in ops/poisson.py) the Pallas path instead mixes the curl
+    INSIDE the fused z conv kernel
+    (``UnboundedPoissonSolver3D.velocity_from_vorticity_fused``): the
+    streamfunction never materializes, and the width-1 ring mask +
+    free-stream + CFL reduction ride the final c2r merge kernel."""
     if not skip_penalise:
         vorticity = penalise_field_boundary_vector_3d(
             vorticity, penalty_zone_width
         )
-    stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
+    from sopht_mpi_tpu.ops import poisson as _poisson_mod
+
     l1_max = None
+    if (
+        use_pallas
+        and _poisson_mod.USE_FUSED_SPECTRAL_CURL
+        and poisson_solver is not None
+        and getattr(poisson_solver, "fused_curl_supported", None) is not None
+        and poisson_solver.fused_curl_supported(vorticity.dtype)
+    ):
+        fsv = (
+            jnp.asarray(free_stream_velocity, vorticity.dtype)
+            if with_free_stream
+            else jnp.zeros(3, vorticity.dtype)
+        )
+        velocity, l1_max = poisson_solver.velocity_from_vorticity_fused(
+            vorticity, poisson_greens, fsv
+        )
+        if return_velocity_l1_max:
+            return vorticity, velocity, l1_max
+        return vorticity, velocity
+    stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
     if use_pallas:
         from sopht_mpi_tpu.ops.pallas_stencils_3d import curl_3d_pallas
 

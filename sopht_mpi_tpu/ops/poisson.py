@@ -45,6 +45,17 @@ from sopht_mpi_tpu.parallel.fft import (
 # in interpret mode there): None = auto (TPU only), True/False = override.
 FORCE_PALLAS_CONVOLVE: bool | None = None
 
+# Route the 3D velocity recovery through velocity_from_vorticity_fused
+# (spectral FD curl mixed inside the conv kernel + ring/free-stream/CFL
+# epilogue inside the c2r merge). OFF by default - a measured negative
+# at 256^3: the 3-component conv kernel only tiles at bt=128 (vs 512)
+# and costs +2.0 ms, while the real-space curl pass it deletes costs
+# only ~1.2 ms pipelined behind the solve's tail (4.65 ms standalone);
+# recovery measured 39.04 vs 38.44 ms. Kept as a correct, tested,
+# differentiable alternative: it deletes the streamfunction transient
+# (one full 3-vector HBM round trip) where memory, not wall time, binds.
+USE_FUSED_SPECTRAL_CURL: bool = False
+
 
 def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
     """Fast fused Pallas path: TPU backend, float32, supported axis sizes
@@ -189,6 +200,93 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
                 mx, nx,
             ).reshape(c, nz, ny, nx)
     return sol if batched else sol[0]
+
+
+def _pallas_convolve_curl_local(rhs, greens, doubled, dx, free_stream):
+    """Biot-Savart velocity recovery
+    ``u = FD-curl(G * omega) (ring-zeroed) + U_inf`` with the curl mixed
+    INSIDE the fused z conv kernel: identical pipeline to the 3D branch of
+    :func:`_pallas_convolve_local` (3-component ``rhs`` batched through
+    the edge passes), but the z pass is ``fft_greens_curl_ifft_pass`` -
+    at its full-spectral point the per-k2 VMEM slices hold all three
+    components of ``psi_hat = G omega_hat``, so ``u_hat = i s x psi_hat``
+    (s = the central-difference symbols ``sin(2 pi k/M)/dx``) costs only
+    overlapped VPU work, and the final c2r merge applies the width-1
+    wall-ring zeroing (curl_3d parity), the free-stream add, and the
+    ``max |u|_1`` CFL reduction in-kernel - the streamfunction, the
+    real-space curl pass (~4.6 ms at 256^3), and the elementwise epilogue
+    pass all disappear. Returns ``(u, l1_max)``.
+
+    In exact arithmetic the curl equals ``curl_3d(vector_field_solve(
+    omega), 0.5/dx)``: the central difference on the doubled periodic grid
+    is the diagonal spectral operator above, interior cells never
+    reference truncated-away neighbors, and the wrapping ring is zeroed by
+    both paths.
+    """
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        fft_greens_curl_ifft_pass,
+        fft_pass_padded,
+        ifft_pass_truncated,
+        irfft_pass_merge_velocity,
+        rfft_pass_padded_split,
+    )
+
+    g_bulk, g_side = greens
+    assert rhs.ndim == 4 and rhs.shape[0] == 3, rhs.shape
+    c = 3
+    mz, my, mx = doubled
+    bx = mx // 2
+    nz, ny, nx = rhs.shape[1], rhs.shape[2], rhs.shape[3]
+
+    fr, fi, sr, si = rfft_pass_padded_split(
+        rhs.reshape(c * nz * ny, nx), mx
+    )
+    fr = fr.reshape(c * nz, ny, bx)
+    fi = fi.reshape(c * nz, ny, bx)
+    fr, fi = fft_pass_padded(fr, fi, my)  # (c*nz, my, bx)
+
+    # central-difference curl symbols (in-trace iotas; never constants)
+    f32 = jnp.float32
+    sym = lambda m: jnp.sin(2.0 * jnp.pi * jnp.arange(m, dtype=f32) / m) / dx
+    sym_z, sym_y, sym_x = sym(mz), sym(my), sym(mx)[:bx]
+    sym_yx = jnp.stack(
+        [jnp.repeat(sym_y, bx), jnp.tile(sym_x, my)]
+    )  # (2, my*bx): B-major (ky), B-minor / lane (bulk kx)
+
+    fr = fr.reshape(c, nz, my * bx)
+    fi = fi.reshape(c, nz, my * bx)
+    fr, fi = fft_greens_curl_ifft_pass(
+        fr, fi, g_bulk.reshape(1, mz, my * bx), sym_z, sym_yx
+    )  # (3, nz, my*bx): the mixed velocity spectrum, z back in real space
+
+    # Nyquist kx column side path: the x symbol is sin(pi) = 0 there
+    s = jax.lax.complex(sr, si).reshape(c, nz, ny)
+    s = jnp.fft.fft(s, n=my, axis=2)
+    s = jnp.fft.fft(s, n=mz, axis=1)
+    psi = s * g_side[None]  # (3, mz, my)
+    szc = sym_z.reshape(1, mz, 1)
+    syc = sym_y.reshape(1, 1, my)
+    s = 1j * jnp.stack(
+        [
+            syc[0] * psi[2] - szc[0] * psi[1],
+            szc[0] * psi[0],
+            -syc[0] * psi[0],
+        ]
+    )
+    s = jnp.fft.ifft(s, axis=1)[:, :nz]
+    s = jnp.fft.ifft(s, axis=2)[:, :, :ny]
+
+    fr = fr.reshape(c * nz, my, bx)
+    fi = fi.reshape(c * nz, my, bx)
+    fr, fi = ifft_pass_truncated(fr, fi)
+    u, l1_max = irfft_pass_merge_velocity(
+        fr.reshape(c, nz * ny, bx), fi.reshape(c, nz * ny, bx),
+        jnp.real(s).astype(fr.dtype).reshape(c, nz * ny, 1),
+        jnp.imag(s).astype(fr.dtype).reshape(c, nz * ny, 1),
+        jnp.asarray(free_stream, fr.dtype),
+        mx, nx, ny, nz,
+    )
+    return u.reshape(c, nz, ny, nx), l1_max
 
 
 def _padded_rfftn_local(field, doubled: tuple[int, ...]):
@@ -553,6 +651,51 @@ class UnboundedPoissonSolver3D:
             return jax.vmap(lambda f: self.solve(f, greens))(rhs_vector_field)
         return jnp.stack(
             [self.solve(rhs_vector_field[c], greens) for c in range(3)]
+        )
+
+    def fused_curl_supported(self, dtype) -> bool:
+        """Whether :meth:`velocity_from_vorticity_fused` applies: the
+        single-device Pallas convolve path with components batched (the
+        512^3-class sequential-component fallback cannot mix across
+        components), a valid tile for the 3x-VMEM curl conv kernel, and a
+        valid row tile for the epilogue-fused c2r merge."""
+        from sopht_mpi_tpu.parallel.pallas_fft import (
+            conv_curl_pass_tile_ok,
+            merge_velocity_epilogue_ok,
+        )
+
+        nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
+        doubled = (2 * nz, 2 * ny, 2 * nx)
+        return (
+            (self.mesh is None or self.mesh.size == 1)
+            and _pallas_convolve_supported(doubled, dtype)
+            and nz * ny * nx < _COMPONENT_MAP_THRESHOLD
+            and conv_curl_pass_tile_ok(2 * ny * nx, 2 * nz)
+            and merge_velocity_epilogue_ok(nz * ny)
+        )
+
+    def velocity_from_vorticity_fused(self, vorticity, greens=None,
+                                      free_stream=None):
+        """Biot-Savart velocity recovery with the real-space curl pass
+        deleted: ``u = FD-curl(G * omega)`` (width-1 wall ring zeroed)
+        ``+ free_stream``, plus the global ``max |u|_1`` CFL quantity -
+        the curl is mixed inside the fused z conv kernel and the
+        ring/free-stream/CFL epilogue inside the final c2r merge (see
+        :func:`_pallas_convolve_curl_local`). Exact-arithmetic equal to
+        ``curl_3d(vector_field_solve(omega), 0.5/dx) + U_inf``. Only valid
+        when :meth:`fused_curl_supported`. Returns ``(u, l1_max)``.
+        """
+        assert self.fused_curl_supported(vorticity.dtype)
+        if greens is None:
+            greens = self.fourier_greens_times_dx_pow_dim
+        if not isinstance(greens, tuple):
+            greens = split_pallas_greens(greens)
+        if free_stream is None:
+            free_stream = jnp.zeros(3, vorticity.dtype)
+        nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
+        return _pallas_convolve_curl_local(
+            vorticity, greens, (2 * nz, 2 * ny, 2 * nx), self.dx,
+            free_stream,
         )
 
     def _fd_curl_symbols(self, dtype):

@@ -362,6 +362,180 @@ def _fft_greens_ifft_pass_impl(xr, xi, greens):
       xi.reshape(a_dim, m2 // 2, m1, b))
 
 
+def _conv_curl_budget(m: int) -> int:
+    """Lane-tile budget of the 3-component curl-mixing conv pass: its
+    VMEM working set is ~3x :func:`_conv_budget`'s (all three components
+    share every block so the cross-component curl can mix in VMEM).
+    bt=256 at m=512 overflows scoped vmem by 4.6 MB (measured); 128 fits."""
+    return 128
+
+
+def conv_curl_pass_tile_ok(b: int, m: int) -> bool:
+    """Whether :func:`fft_greens_curl_ifft_pass` admits a valid tile."""
+    return _pick_btile(b, _conv_curl_budget(m)) is not None
+
+
+def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
+                      g_ref, syx_ref, xr_ref, xi_ref, or_ref, oi_ref):
+    """``_conv_kernel`` for a 3-component block with the spectral
+    central-difference curl mixed in at the full-spectral point: between
+    the Green's multiply and the inverse step the per-k2 VMEM slices hold
+    psi_hat = G * omega_hat for ALL components, so
+    ``u_hat = i s x psi_hat`` (s = the FD symbols ``sin(2 pi k/M)/dx``)
+    costs only VPU elementwise work - the streamfunction and the separate
+    real-space curl pass never exist."""
+    bt = xr_ref.shape[3]
+    p1 = p1_ref[...]
+    # forward step 1 (contract n2) per component -> y (n1, 2m2, bt)
+    ys = [
+        jnp.stack(
+            [_mm(p1, _cat(xr_ref[comp, :, j, :], xi_ref[comp, :, j, :]))
+             for j in range(m1)]
+        )
+        for comp in range(3)
+    ]
+    sy = syx_ref[0:1, :]  # (1, bt): i-symbol along the (flattened) y freq
+    sx = syx_ref[1:2, :]  # (1, bt): i-symbol along the bulk x freq
+    y2 = [[], [], []]
+    for c in range(m2):
+        g_c = g_ref[0, :, c, :]  # (m1, bt)
+        sz_c = sz_ref[:, c].reshape(m1, 1)  # i-symbol at k = m2*k1 + c
+        # forward step 2 + greens -> psi_hat (split re/im) per component
+        pr, pi_ = [], []
+        for comp in range(3):
+            z = _mm(
+                paf_ref[c], _cat(ys[comp][:, c, :], ys[comp][:, m2 + c, :])
+            )  # (2m1, bt)
+            pr.append(z[:m1] * g_c)
+            pi_.append(z[m1:] * g_c)
+        # u = i (s x psi): re(u) = -(s x im(psi)), im(u) = s x re(psi)
+        # component order (x, y, z): u_x = i(sy psi_z - sz psi_y), ...
+        ur = (
+            sz_c * pi_[1] - sy * pi_[2],
+            sx * pi_[2] - sz_c * pi_[0],
+            sy * pi_[0] - sx * pi_[1],
+        )
+        ui = (
+            sy * pr[2] - sz_c * pr[1],
+            sz_c * pr[0] - sx * pr[2],
+            sx * pr[1] - sy * pr[0],
+        )
+        for comp in range(3):
+            y2[comp].append(_mm(pai_ref[c], _cat(ur[comp], ui[comp])))
+    # inverse step 2 (contract k2, keep n2 < m2/2) per component
+    p2 = p2_ref[...]
+    for comp in range(3):
+        yc = jnp.stack(y2[comp])  # (k2, 2m1, bt)
+        zr_sl, zi_sl = [], []
+        for j in range(m1):
+            o = _mm(p2, _cat(yc[:, j, :], yc[:, m1 + j, :]))  # (m2, bt)
+            zr_sl.append(o[: m2 // 2])
+            zi_sl.append(o[m2 // 2:])
+        or_ref[comp] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
+        oi_ref[comp] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
+
+
+def _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx):
+    """Fused padded-forward -> greens -> spectral-FD-curl -> truncated
+    inverse along the MIDDLE axis of (3, m/2, B) float32 pairs.
+
+    ``greens`` is the real multiplier, shape (1, m, B). ``sym_z`` (m,) and
+    ``sym_yx`` (2, B) carry the central-difference curl symbols
+    ``sin(2 pi k / M_axis) / dx`` of the transform axis and of the two
+    axes flattened into B (rows: the B-major axis, then the B-minor /
+    lane axis). Output: the three mixed components ``u = i s x (g * x^)``,
+    inverse-transformed and truncated - i.e. the velocity of the
+    Biot-Savart recovery with the real-space curl pass deleted.
+    """
+    a_dim, l_in, b = xr.shape
+    assert a_dim == 3, a_dim
+    m = 2 * l_in
+    m1, m2 = _best_factors(m)
+    bt = _pick_btile(b, _conv_curl_budget(m))
+    assert bt is not None, (b, m)
+    p1, paf = _packed_fwd_mats(m)
+    pai, p2 = _packed_inv_mats(m)
+    kern = functools.partial(_conv_curl_kernel, m, m1, m2)
+    mat_spec = lambda shape: pl.BlockSpec(
+        shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_spec = pl.BlockSpec(
+        (3, m2 // 2, m1, bt), lambda j: (0, 0, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    g_spec = pl.BlockSpec(
+        (1, m1, m2, bt), lambda j: (0, 0, 0, j), memory_space=pltpu.VMEM
+    )
+    syx_spec = pl.BlockSpec(
+        (2, bt), lambda j: (0, j), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (3, l_in, bt), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    mats = [p1, paf, pai, p2]
+    return pl.pallas_call(
+        kern,
+        grid=(b // bt,),
+        in_specs=[mat_spec(a.shape) for a in mats]
+        + [mat_spec((m1, m2)), g_spec, syx_spec, in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((3, l_in, b), jnp.float32)] * 2,
+        interpret=_use_interpret(),
+    )(*[jnp.asarray(a) for a in mats],
+      # k = m2*k1 + k2 -> row k1, column k2 (free view)
+      sym_z.astype(jnp.float32).reshape(m1, m2),
+      greens.reshape(1, m1, m2, b),
+      sym_yx.astype(jnp.float32),
+      xr.reshape(a_dim, m2 // 2, m1, b),
+      xi.reshape(a_dim, m2 // 2, m1, b))
+
+
+def _conv_curl_ref(xr, xi, greens, sym_z, sym_yx):
+    """jnp formulation of :func:`_fft_greens_curl_ifft_pass_impl` (the
+    parity oracle and the VJP formulation)."""
+    l_in, b = xr.shape[1], xr.shape[2]
+    m = 2 * l_in
+    psi = jnp.fft.fft(_pad_mid(_c_(xr, xi), m), axis=1) * greens  # (3, m, b)
+    sz = sym_z.reshape(m, 1)
+    sy = sym_yx[0].reshape(1, b)
+    sx = sym_yx[1].reshape(1, b)
+    u_hat = 1j * jnp.stack(
+        [
+            sy * psi[2] - sz * psi[1],
+            sz * psi[0] - sx * psi[2],
+            sx * psi[1] - sy * psi[0],
+        ]
+    )
+    u = jnp.fft.ifft(u_hat, axis=1)[:, :l_in]
+    return jnp.real(u).astype(xr.dtype), jnp.imag(u).astype(xr.dtype)
+
+
+_fft_greens_curl_ifft_pass_vjp = jax.custom_vjp(_fft_greens_curl_ifft_pass_impl)
+
+
+def _fft_greens_curl_ifft_pass_fwd(xr, xi, greens, sym_z, sym_yx):
+    return (
+        _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx),
+        (xr, xi, greens, sym_z, sym_yx),
+    )
+
+
+def _fft_greens_curl_ifft_pass_bwd(res, ct):
+    return jax.vjp(_conv_curl_ref, *res)[1](ct)
+
+
+_fft_greens_curl_ifft_pass_vjp.defvjp(
+    _fft_greens_curl_ifft_pass_fwd, _fft_greens_curl_ifft_pass_bwd
+)
+
+
+def fft_greens_curl_ifft_pass(xr, xi, greens, sym_z, sym_yx):
+    return _fft_greens_curl_ifft_pass_vjp(xr, xi, greens, sym_z, sym_yx)
+
+
+fft_greens_curl_ifft_pass.__doc__ = _fft_greens_curl_ifft_pass_impl.__doc__
+
+
 # ---------------------------------------------------------------------------
 # minor-axis r2c / c2r passes as lane-contraction matmuls
 #
@@ -544,6 +718,143 @@ def _irfft_pass_merge_impl(br, bi, sr, si, m: int, n_out: int):
         interpret=_use_interpret(),
     )(jnp.asarray(cwb), jnp.asarray(swb), jnp.asarray(cws), jnp.asarray(sws),
       br, bi, sr, si)
+
+
+def _c2r_merge_velocity_kernel(ny, nz, cwb_ref, swb_ref, cws_ref, sws_ref,
+                               fsv_ref, br_ref, bi_ref, sr_ref, si_ref,
+                               o_ref, max_ref):
+    """``_c2r_merge_kernel`` over (3, rt, .) component-stacked blocks with
+    the velocity-recovery epilogue fused in: width-1 wall-ring zeroing
+    (curl_3d parity), per-component free-stream add, and the per-block
+    ``max |u|_1`` CFL reduction - the final c2r pass writes the FINISHED
+    velocity, so no elementwise pass ever re-reads it."""
+    j = pl.program_id(0)
+    rt, n_out = o_ref.shape[1], o_ref.shape[2]
+    rows = j * rt + jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)
+    z = rows // ny
+    y = rows - z * ny
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_out), 1)
+    interior = (
+        (z > 0) & (z < nz - 1) & (y > 0) & (y < ny - 1)
+        & (cols > 0) & (cols < n_out - 1)
+    )
+    cwb, swb = cwb_ref[...], swb_ref[...]
+    cws, sws = cws_ref[...], sws_ref[...]
+    comps = []
+    for c in range(3):
+        u = (
+            _mm(br_ref[c], cwb)
+            + _mm(bi_ref[c], swb)
+            + sr_ref[c] * cws
+            + si_ref[c] * sws
+        )
+        u = jnp.where(interior, u, 0.0) + fsv_ref[c, 0]
+        o_ref[c] = u
+        comps.append(u)
+    m = jnp.max(jnp.abs(comps[0]) + jnp.abs(comps[1]) + jnp.abs(comps[2]))
+    # (8,1) output blocks shared by 8 grid steps (Mosaic sublane tiling)
+    max_ref[pl.dslice(j % 8, 1), :] = m.reshape(1, 1)
+
+
+def _merge_velocity_rtile(rows: int):
+    """Row tile for the epilogue merge: rows//rt must be a positive
+    multiple of 8 (the l1-max output rides (8,1) sublane blocks). Capped
+    at 256: the 3-component blocks at rt=512 overflow scoped vmem by
+    1.4 MB at 256^3 (measured)."""
+    for rt in (256, 128, 64, 32, 16, 8):
+        if rows % rt == 0 and (rows // rt) % 8 == 0:
+            return rt
+    return None
+
+
+def _irfft_pass_merge_velocity_impl(br, bi, sr, si, fsv, m, n_out, ny, nz):
+    """c2r merge of a 3-component velocity spectrum (see
+    :func:`_c2r_merge_velocity_kernel`): inputs are (3, nz*ny, m/2) bulk
+    and (3, nz*ny, 1) Nyquist float32 pairs plus the (3,) free-stream
+    vector; returns ``(u (3, nz*ny, n_out), l1_max scalar)``."""
+    rows, mh = br.shape[1], br.shape[2]
+    assert 2 * mh == m and rows == nz * ny
+    cw, sw = _c2r_mats(m, n_out)
+    cwb, swb = np.ascontiguousarray(cw[:mh]), np.ascontiguousarray(sw[:mh])
+    cws, sws = np.ascontiguousarray(cw[mh:]), np.ascontiguousarray(sw[mh:])
+    rt = _merge_velocity_rtile(rows)
+    assert rt is not None, rows
+    n_steps = rows // rt
+    mat_spec = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    blk = lambda cols: pl.BlockSpec(
+        (3, rt, cols), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(_c2r_merge_velocity_kernel, ny, nz)
+    u, plane_max = pl.pallas_call(
+        kern,
+        grid=(n_steps,),
+        in_specs=[mat_spec(cwb), mat_spec(swb), mat_spec(cws), mat_spec(sws),
+                  pl.BlockSpec((3, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  blk(mh), blk(mh), blk(1), blk(1)],
+        out_specs=[blk(n_out),
+                   pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((3, rows, n_out), jnp.float32),
+                   jax.ShapeDtypeStruct((n_steps, 1), jnp.float32)],
+        interpret=_use_interpret(),
+    )(jnp.asarray(cwb), jnp.asarray(swb), jnp.asarray(cws), jnp.asarray(sws),
+      fsv.reshape(3, 1), br, bi, sr, si)
+    return u, jnp.max(plane_max)
+
+
+def _merge_velocity_ref(br, bi, sr, si, fsv, m, n_out, ny, nz):
+    """jnp formulation of :func:`_irfft_pass_merge_velocity_impl` (VJP
+    formulation; built on the already-differentiable irfft_pass_merge)."""
+    rows = br.shape[1]
+    u = irfft_pass_merge(
+        br.reshape(3 * rows, -1), bi.reshape(3 * rows, -1),
+        sr.reshape(3 * rows, 1), si.reshape(3 * rows, 1), m, n_out,
+    ).reshape(3, nz, ny, n_out)
+    ring = lambda n: (jnp.arange(n) > 0) & (jnp.arange(n) < n - 1)
+    mask = (ring(nz)[:, None, None] & ring(ny)[None, :, None]
+            & ring(n_out)[None, None, :])
+    u = jnp.where(mask, u, 0.0) + fsv.reshape(3, 1, 1, 1)
+    return (
+        u.reshape(3, rows, n_out),
+        jnp.max(jnp.sum(jnp.abs(u), axis=0)),
+    )
+
+
+_merge_velocity_vjp = jax.custom_vjp(
+    _irfft_pass_merge_velocity_impl, nondiff_argnums=(5, 6, 7, 8)
+)
+
+
+def _merge_velocity_fwd(br, bi, sr, si, fsv, m, n_out, ny, nz):
+    return (
+        _irfft_pass_merge_velocity_impl(br, bi, sr, si, fsv, m, n_out,
+                                        ny, nz),
+        (br, bi, sr, si, fsv),
+    )
+
+
+def _merge_velocity_bwd(m, n_out, ny, nz, res, ct):
+    return jax.vjp(
+        lambda *a: _merge_velocity_ref(*a, m, n_out, ny, nz), *res
+    )[1](ct)
+
+
+_merge_velocity_vjp.defvjp(_merge_velocity_fwd, _merge_velocity_bwd)
+
+
+def merge_velocity_epilogue_ok(rows: int) -> bool:
+    """Whether the epilogue-fused c2r merge admits a valid row tile."""
+    return _merge_velocity_rtile(rows) is not None
+
+
+def irfft_pass_merge_velocity(br, bi, sr, si, fsv, m, n_out, ny, nz):
+    return _merge_velocity_vjp(br, bi, sr, si, fsv, m, n_out, ny, nz)
+
+
+irfft_pass_merge_velocity.__doc__ = _irfft_pass_merge_velocity_impl.__doc__
 
 
 def _use_interpret() -> bool:

@@ -191,3 +191,40 @@ def test_3d_step_pallas_path_matches_jnp_path(monkeypatch):
     np.testing.assert_allclose(
         u_pal, u_ref, atol=2e-4 * max(1.0, np.abs(u_ref).max())
     )
+
+
+def test_3d_step_fused_spectral_curl_matches_jnp_path(monkeypatch):
+    """The opt-in fused spectral-curl velocity recovery
+    (poisson.USE_FUSED_SPECTRAL_CURL: curl mixed inside the conv kernel,
+    ring/free-stream/CFL epilogue inside the c2r merge) matches the jnp
+    fork through a full Navier-Stokes step."""
+    import sopht_mpi_tpu.ops.poisson as poisson_mod
+
+    def build(use_pallas):
+        sim = UnboundedFlowSimulator3D(
+            grid_size=(32, 32, 32),
+            x_range=1.0,
+            kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True,
+            real_t=jnp.float32,
+            use_pallas=use_pallas,
+        )
+        rng = np.random.default_rng(7)
+        sim.primary_field = jnp.asarray(
+            0.1 * rng.standard_normal(sim.primary_field.shape), jnp.float32
+        )
+        for _ in range(2):
+            sim.time_step(1e-3, free_stream_velocity=(1.0, 0.5, 0.0))
+        return np.asarray(sim.primary_field), np.asarray(sim.velocity_field)
+
+    w_ref, u_ref = build(False)
+    monkeypatch.setattr(poisson_mod, "FORCE_PALLAS_CONVOLVE", True)
+    monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", True)
+    w_pal, u_pal = build(True)
+    np.testing.assert_allclose(
+        w_pal, w_ref, atol=2e-4 * max(1.0, np.abs(w_ref).max())
+    )
+    np.testing.assert_allclose(
+        u_pal, u_ref, atol=2e-4 * max(1.0, np.abs(u_ref).max())
+    )

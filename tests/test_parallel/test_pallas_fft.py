@@ -220,3 +220,78 @@ def test_fused_edge_passes_match_reference(monkeypatch):
         np.asarray(out), np.asarray(ref),
         atol=5e-5 * float(jnp.abs(ref).max()),
     )
+
+
+@pytest.mark.parametrize("m", [64, 128])
+def test_fft_greens_curl_ifft_pass(m):
+    """The 3-component curl-mixing conv kernel matches its jnp
+    formulation (forward AND reverse mode)."""
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        _conv_curl_ref,
+        fft_greens_curl_ifft_pass,
+    )
+
+    rng = np.random.default_rng(11)
+    l_in = m // 2
+    my, bxl = 16, 8  # B = 128: one lane tile
+    b = my * bxl
+    dx = 0.02
+    xr = jnp.asarray(rng.standard_normal((3, l_in, b)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((3, l_in, b)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, m, b)), jnp.float32)
+    sym = lambda n: np.sin(2 * np.pi * np.arange(n) / n) / dx
+    sym_z = jnp.asarray(sym(m), jnp.float32)
+    sym_yx = jnp.asarray(
+        np.stack([np.repeat(sym(my), bxl), np.tile(sym(2 * bxl)[:bxl], my)]),
+        jnp.float32,
+    )
+    out = fft_greens_curl_ifft_pass(xr, xi, g, sym_z, sym_yx)
+    ref = _conv_curl_ref(xr, xi, g, sym_z, sym_yx)
+    scale = float(jnp.abs(ref[0]).max())
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=5e-6 * scale)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               atol=5e-6 * scale)
+    # reverse mode rides the jnp formulation
+    loss = lambda f, a: jnp.sum(f(a, xi, g, sym_z, sym_yx)[0] ** 2)
+    gk = jax.grad(lambda a: loss(fft_greens_curl_ifft_pass, a))(xr)
+    gr = jax.grad(lambda a: loss(_conv_curl_ref, a))(xr)
+    np.testing.assert_allclose(
+        np.asarray(gk), np.asarray(gr),
+        atol=5e-6 * float(jnp.abs(gr).max()),
+    )
+
+
+def test_velocity_from_vorticity_fused_matches_solve_plus_curl():
+    """Solver-level parity: the in-kernel spectral FD curl + in-merge
+    epilogue (ring zero, free-stream add, CFL max) equals
+    ``curl_3d(vector_field_solve(omega), 0.5/dx) + U_inf``."""
+    import sopht_mpi_tpu.ops.poisson as poisson_mod
+    from sopht_mpi_tpu.ops.stencils_3d import curl_3d
+
+    old = poisson_mod.FORCE_PALLAS_CONVOLVE
+    poisson_mod.FORCE_PALLAS_CONVOLVE = True
+    try:
+        nz, ny, nx = 32, 32, 64  # anisotropic: axis symbols must not mix up
+        solver = poisson_mod.UnboundedPoissonSolver3D(
+            nz, ny, nx, x_range=1.0
+        )
+        assert solver.fused_curl_supported(jnp.float32)
+        rng = np.random.default_rng(12)
+        w = jnp.asarray(rng.standard_normal((3, nz, ny, nx)), jnp.float32)
+        fsv = jnp.asarray([1.0, -0.5, 0.25], jnp.float32)
+        u_ref = curl_3d(solver.vector_field_solve(w), 0.5 / solver.dx)
+        u_ref = u_ref + fsv[:, None, None, None]
+        u, l1_max = solver.velocity_from_vorticity_fused(
+            w, free_stream=fsv
+        )
+        tol = 5e-6 * max(1.0, float(jnp.abs(u_ref).max()))
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=tol)
+        np.testing.assert_allclose(
+            float(l1_max),
+            float(jnp.max(jnp.sum(jnp.abs(u_ref), axis=0))),
+            atol=tol,
+        )
+    finally:
+        poisson_mod.FORCE_PALLAS_CONVOLVE = old
