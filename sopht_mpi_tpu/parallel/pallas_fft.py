@@ -76,6 +76,34 @@ def _mm(a, x):
                        preferred_element_type=jnp.float32)
 
 
+# Opt-in 3-pass bf16 (hi/lo split) matmuls for the fused conv kernels
+# ONLY - the one compute-bound pass of the solve. Measured at 256^3:
+# conv pass 21.4 -> 18.0 ms, full-solve relative error 6.6e-6 vs the
+# 6-pass HIGHEST emulation's ~1e-7 (the reference's FFTW float32 is
+# ~1e-7, so this stays OFF by default for accuracy parity). The
+# bandwidth-bound x/y passes keep HIGHEST always - 3-pass would cost
+# accuracy there for no wall-time return (1-pass bf16 measured only
+# 1.5x on this pass: it is mixed MXU/BW/issue-bound, not purely MXU).
+FAST_SPECTRAL_MATMULS: bool = False
+
+
+def _mm3(a, x):
+    """3-pass bf16 matmul: a@x = ah@xh + ah@xl + al@xh with f32
+    accumulation (drops the O(2^-16) al@xl term)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda p, q: jax.lax.dot(p, q, preferred_element_type=jnp.float32)
+    return d(ah, xh) + d(ah, xl) + d(al, xh)
+
+
+def _mm_conv(a, x):
+    """Matmul used by the fused conv(+curl) kernels; dispatches on
+    :data:`FAST_SPECTRAL_MATMULS` at trace time."""
+    return _mm3(a, x) if FAST_SPECTRAL_MATMULS else _mm(a, x)
+
+
 def _cmm(mr, mi, xr, xi):
     """2D complex matmul (mr + i mi)(xr + i xi) on the MXU."""
     return _mm(mr, xr) - _mm(mi, xi), _mm(mr, xi) + _mm(mi, xr)
@@ -296,23 +324,23 @@ def _conv_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, g_ref,
     p1 = p1_ref[...]
     # forward step 1 (contract n2) -> y (n1, 2m2, bt)
     y = jnp.stack(
-        [_mm(p1, _cat(xr_ref[0, :, j, :], xi_ref[0, :, j, :]))
+        [_mm_conv(p1, _cat(xr_ref[0, :, j, :], xi_ref[0, :, j, :]))
          for j in range(m1)]
     )
     # forward step 2 (contract n1) + greens + inverse step 1 (contract k1),
     # per k2 slice
     y2_sl = []
     for c in range(m2):
-        z = _mm(paf_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]))  # (2m1, bt)
+        z = _mm_conv(paf_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]))  # (2m1, bt)
         g_c = g_ref[0, :, c, :]
         z = z * _cat(g_c, g_c)
-        y2_sl.append(_mm(pai_ref[c], z))  # (2m1, bt)
+        y2_sl.append(_mm_conv(pai_ref[c], z))  # (2m1, bt)
     y2 = jnp.stack(y2_sl)  # (k2, 2m1, bt)
     # inverse step 2 (contract k2, keep n2 < m2/2)
     p2 = p2_ref[...]
     zr_sl, zi_sl = [], []
     for j in range(m1):
-        o = _mm(p2, _cat(y2[:, j, :], y2[:, m1 + j, :]))  # (m2, bt)
+        o = _mm_conv(p2, _cat(y2[:, j, :], y2[:, m1 + j, :]))  # (m2, bt)
         zr_sl.append(o[: m2 // 2])
         zi_sl.append(o[m2 // 2:])
     or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
@@ -389,7 +417,7 @@ def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
     # forward step 1 (contract n2) per component -> y (n1, 2m2, bt)
     ys = [
         jnp.stack(
-            [_mm(p1, _cat(xr_ref[comp, :, j, :], xi_ref[comp, :, j, :]))
+            [_mm_conv(p1, _cat(xr_ref[comp, :, j, :], xi_ref[comp, :, j, :]))
              for j in range(m1)]
         )
         for comp in range(3)
@@ -403,7 +431,7 @@ def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
         # forward step 2 + greens -> psi_hat (split re/im) per component
         pr, pi_ = [], []
         for comp in range(3):
-            z = _mm(
+            z = _mm_conv(
                 paf_ref[c], _cat(ys[comp][:, c, :], ys[comp][:, m2 + c, :])
             )  # (2m1, bt)
             pr.append(z[:m1] * g_c)
@@ -421,14 +449,14 @@ def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
             sx * pr[1] - sy * pr[0],
         )
         for comp in range(3):
-            y2[comp].append(_mm(pai_ref[c], _cat(ur[comp], ui[comp])))
+            y2[comp].append(_mm_conv(pai_ref[c], _cat(ur[comp], ui[comp])))
     # inverse step 2 (contract k2, keep n2 < m2/2) per component
     p2 = p2_ref[...]
     for comp in range(3):
         yc = jnp.stack(y2[comp])  # (k2, 2m1, bt)
         zr_sl, zi_sl = [], []
         for j in range(m1):
-            o = _mm(p2, _cat(yc[:, j, :], yc[:, m1 + j, :]))  # (m2, bt)
+            o = _mm_conv(p2, _cat(yc[:, j, :], yc[:, m1 + j, :]))  # (m2, bt)
             zr_sl.append(o[: m2 // 2])
             zi_sl.append(o[m2 // 2:])
         or_ref[comp] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
