@@ -364,22 +364,26 @@ def _fft_greens_ifft_pass_impl(xr, xi, greens):
     pai, p2 = _packed_inv_mats(m)
     kern = functools.partial(_conv_kernel, m, m1, m2)
     mat_spec = lambda arr: pl.BlockSpec(
-        arr.shape, lambda i, j: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        arr.shape, lambda j, i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
     in_spec = pl.BlockSpec(
-        (1, m2 // 2, m1, bt), lambda i, j: (i, 0, 0, j),
+        (1, m2 // 2, m1, bt), lambda j, i: (i, 0, 0, j),
         memory_space=pltpu.VMEM,
     )
+    # grid order (B tile, A): A iterates INNERMOST, so for a fixed B tile
+    # the shared greens block index is unchanged across the A sweep and
+    # Pallas skips the redundant fetches - at 256^3 c=3 this removes
+    # 2/3 of the greens HBM reads (~536 MB/pass)
     g_spec = pl.BlockSpec(
-        (1, m1, m2, bt), lambda i, j: (0, 0, 0, j), memory_space=pltpu.VMEM
+        (1, m1, m2, bt), lambda j, i: (0, 0, 0, j), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, l_in, bt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        (1, l_in, bt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
     )
     mats = [p1, paf, pai, p2]
     return pl.pallas_call(
         kern,
-        grid=(a_dim, b // bt),
+        grid=(b // bt, a_dim),
         in_specs=[mat_spec(a) for a in mats] + [g_spec, in_spec, in_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((a_dim, l_in, b), jnp.float32)] * 2,
