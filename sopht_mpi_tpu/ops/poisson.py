@@ -205,9 +205,11 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
 def _pallas_convolve_curl_local(rhs, greens, doubled, dx, free_stream):
     """Biot-Savart velocity recovery
     ``u = FD-curl(G * omega) (ring-zeroed) + U_inf`` with the curl mixed
-    INSIDE the fused z conv kernel: identical pipeline to the 3D branch of
-    :func:`_pallas_convolve_local` (3-component ``rhs`` batched through
-    the edge passes), but the z pass is ``fft_greens_curl_ifft_pass`` -
+    INSIDE the fused z conv kernel: same pipeline shape as the 3D branch
+    of :func:`_pallas_convolve_local` (3-component ``rhs`` batched through
+    the always-unfused edge passes; the opt-in USE_FUSED_EDGE_PASSES edge
+    fusions are not wired into this path), but the z pass is
+    ``fft_greens_curl_ifft_pass`` -
     at its full-spectral point the per-k2 VMEM slices hold all three
     components of ``psi_hat = G omega_hat``, so ``u_hat = i s x psi_hat``
     (s = the central-difference symbols ``sin(2 pi k/M)/dx``) costs only
@@ -671,7 +673,7 @@ class UnboundedPoissonSolver3D:
             and _pallas_convolve_supported(doubled, dtype)
             and nz * ny * nx < _COMPONENT_MAP_THRESHOLD
             and conv_curl_pass_tile_ok(2 * ny * nx, 2 * nz)
-            and merge_velocity_epilogue_ok(nz * ny)
+            and merge_velocity_epilogue_ok(nz * ny, nx, nx)
         )
 
     def velocity_from_vorticity_fused(self, vorticity, greens=None,

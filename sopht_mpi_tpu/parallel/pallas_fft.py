@@ -403,8 +403,10 @@ def _conv_curl_budget(m: int) -> int:
 
 
 def conv_curl_pass_tile_ok(b: int, m: int) -> bool:
-    """Whether :func:`fft_greens_curl_ifft_pass` admits a valid tile."""
-    return _pick_btile(b, _conv_curl_budget(m)) is not None
+    """Whether :func:`fft_greens_curl_ifft_pass` admits a valid tile.
+    m=1024 overflows scoped vmem by 282 KB even at the minimum bt=128
+    (measured) - nz=512-class grids must take the unfused path."""
+    return m <= 512 and _pick_btile(b, _conv_curl_budget(m)) is not None
 
 
 def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
@@ -788,13 +790,21 @@ def _c2r_merge_velocity_kernel(ny, nz, cwb_ref, swb_ref, cws_ref, sws_ref,
     max_ref[pl.dslice(j % 8, 1), :] = m.reshape(1, 1)
 
 
-def _merge_velocity_rtile(rows: int):
+def _merge_velocity_rtile(rows: int, mh: int, n_out: int):
     """Row tile for the epilogue merge: rows//rt must be a positive
-    multiple of 8 (the l1-max output rides (8,1) sublane blocks). Capped
-    at 256: the 3-component blocks at rt=512 overflow scoped vmem by
-    1.4 MB at 256^3 (measured)."""
+    multiple of 8 (the l1-max output rides (8,1) sublane blocks), and the
+    3-component blocks + the (mh, n_out) c2r matrices must fit scoped
+    vmem. Calibration (probed on v5e): with cost = rt*(2mh + n_out) +
+    mh*n_out, good points are 262144 (rt=256 at the production 256^3
+    shape) and 360448 (rt=64 at the nx=512 shape); failures at 458752
+    from BOTH shapes (rt=128 at nx=512: +860K; rt=512 at 256^3: +1.4M)."""
+    budget = 64 * (2 * 512 + 512) + 512 * 512  # = 360448, largest probed-good
     for rt in (256, 128, 64, 32, 16, 8):
-        if rows % rt == 0 and (rows // rt) % 8 == 0:
+        if (
+            rows % rt == 0
+            and (rows // rt) % 8 == 0
+            and rt * (2 * mh + n_out) + mh * n_out <= budget
+        ):
             return rt
     return None
 
@@ -809,8 +819,8 @@ def _irfft_pass_merge_velocity_impl(br, bi, sr, si, fsv, m, n_out, ny, nz):
     cw, sw = _c2r_mats(m, n_out)
     cwb, swb = np.ascontiguousarray(cw[:mh]), np.ascontiguousarray(sw[:mh])
     cws, sws = np.ascontiguousarray(cw[mh:]), np.ascontiguousarray(sw[mh:])
-    rt = _merge_velocity_rtile(rows)
-    assert rt is not None, rows
+    rt = _merge_velocity_rtile(rows, mh, n_out)
+    assert rt is not None, (rows, mh, n_out)
     n_steps = rows // rt
     mat_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -877,9 +887,9 @@ def _merge_velocity_bwd(m, n_out, ny, nz, res, ct):
 _merge_velocity_vjp.defvjp(_merge_velocity_fwd, _merge_velocity_bwd)
 
 
-def merge_velocity_epilogue_ok(rows: int) -> bool:
+def merge_velocity_epilogue_ok(rows: int, mh: int, n_out: int) -> bool:
     """Whether the epilogue-fused c2r merge admits a valid row tile."""
-    return _merge_velocity_rtile(rows) is not None
+    return _merge_velocity_rtile(rows, mh, n_out) is not None
 
 
 def irfft_pass_merge_velocity(br, bi, sr, si, fsv, m, n_out, ny, nz):

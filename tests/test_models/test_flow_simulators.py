@@ -221,6 +221,10 @@ def test_3d_step_fused_spectral_curl_matches_jnp_path(monkeypatch):
     w_ref, u_ref = build(False)
     monkeypatch.setattr(poisson_mod, "FORCE_PALLAS_CONVOLVE", True)
     monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", True)
+    # the fused path must actually engage, or this test silently collapses
+    # into a duplicate of the ordinary pallas-vs-jnp parity test
+    probe = poisson_mod.UnboundedPoissonSolver3D(32, 32, 32, x_range=1.0)
+    assert probe.fused_curl_supported(jnp.float32)
     w_pal, u_pal = build(True)
     np.testing.assert_allclose(
         w_pal, w_ref, atol=2e-4 * max(1.0, np.abs(w_ref).max())
