@@ -67,13 +67,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     if os.environ.get("BENCH_FAST"):
-        # opt-in 3-pass bf16 conv-kernel matmuls (~+9% at 256^3; solve
-        # rel err 6.6e-6 vs HIGHEST ~1e-7, sphere Cd identical to 4
-        # decimals - see PLAN.md). Default stays the accuracy-parity
+        # opt-in fast mode (~+11% at 256^3): 3-pass bf16 conv-kernel
+        # matmuls (solve rel err 6.6e-6 vs HIGHEST ~1e-7, sphere Cd
+        # identical to 4 decimals) + the fused spectral-curl recovery
+        # (numerically exact; a measured win only under the 3-pass
+        # matmuls - see PLAN.md). Default stays the accuracy-parity
         # HIGHEST path.
+        import sopht_mpi_tpu.ops.poisson as _poisson
         import sopht_mpi_tpu.parallel.pallas_fft as _pf
 
         _pf.FAST_SPECTRAL_MATMULS = True
+        _poisson.USE_FUSED_SPECTRAL_CURL = True
 
     from __graft_entry__ import _build_fsi_case
     from sopht_mpi_tpu.models import scan_steps

@@ -47,13 +47,15 @@ FORCE_PALLAS_CONVOLVE: bool | None = None
 
 # Route the 3D velocity recovery through velocity_from_vorticity_fused
 # (spectral FD curl mixed inside the conv kernel + ring/free-stream/CFL
-# epilogue inside the c2r merge). OFF by default - a measured negative
-# at 256^3: the 3-component conv kernel only tiles at bt=128 (vs 512)
-# and costs +2.0 ms, while the real-space curl pass it deletes costs
-# only ~1.2 ms pipelined behind the solve's tail (4.65 ms standalone);
-# recovery measured 39.04 vs 38.44 ms. Kept as a correct, tested,
-# differentiable alternative: it deletes the streamfunction transient
-# (one full 3-vector HBM round trip) where memory, not wall time, binds.
+# epilogue inside the c2r merge). OFF by default: under the default
+# HIGHEST matmuls it measures neutral-to-negative at 256^3 (recovery
+# 39.04 vs 38.44 ms - the 3-component conv kernel only tiles at bt=128
+# and costs +2.0 ms, while the curl pass it deletes costs only ~1.2 ms
+# pipelined behind the solve's tail). Under FAST_SPECTRAL_MATMULS the
+# kernel hit shrinks and it becomes a measured WIN (recovery 33.7 vs
+# 35.1 ms; full 256^3 step 36.4 ms with both flags) - BENCH_FAST=1
+# enables both. Numerically exact vs solve+curl either way; also
+# deletes the streamfunction HBM transient.
 USE_FUSED_SPECTRAL_CURL: bool = False
 
 
