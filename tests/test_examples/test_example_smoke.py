@@ -214,3 +214,16 @@ def test_sedimenting_sphere_falls_toward_stokes_terminal():
     assert 0.2 < ratio < 0.8, ratio
     # quasi-steady: < 10% change over the last two windows
     assert abs(vels[-1] - vels[-3]) < 0.1 * abs(vels[-1])
+
+
+def test_adjoint_viscosity_inversion_recovers_nu():
+    """Gradient descent THROUGH the solver recovers the true viscosity
+    (the differentiability capability the reference cannot offer)."""
+    from adjoint_viscosity_inversion import adjoint_viscosity_inversion_case
+
+    nu_rec, nu_true, rel_err, history = adjoint_viscosity_inversion_case(
+        grid_size=(32, 32), n_steps=60, iters=16, learning_rate=0.2,
+    )
+    # from a 2x-off guess, a short run should land well inside 5%
+    assert rel_err < 0.05, (nu_rec, nu_true)
+    assert history[-1] < history[0]
