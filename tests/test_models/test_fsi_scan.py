@@ -410,7 +410,8 @@ def test_fsi_scan_is_reverse_differentiable():
     assert float(jnp.linalg.norm(g)) > 0.0
 
 
-def test_fsi_scan_pallas_path_is_differentiable(monkeypatch):
+@pytest.mark.parametrize("fast", [False, True])
+def test_fsi_scan_pallas_path_is_differentiable(monkeypatch, fast):
     """jax.grad flows through the coupled FSI scan on the PRODUCTION
     (Pallas) path: the Pallas FFT convolve and streaming stencil kernels
     carry custom VJP rules (analytic adjoints / jnp-formulation
@@ -425,6 +426,13 @@ def test_fsi_scan_pallas_path_is_differentiable(monkeypatch):
     )
 
     monkeypatch.setattr(poisson_mod, "FORCE_PALLAS_CONVOLVE", True)
+    if fast:
+        # the BENCH_FAST configuration: 3-pass matmuls + in-kernel curl
+        # (their custom VJPs ride the jnp formulations; grads must flow)
+        import sopht_mpi_tpu.parallel.pallas_fft as pf
+
+        monkeypatch.setattr(pf, "FAST_SPECTRAL_MATMULS", True)
+        monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", True)
     flow_sim = UnboundedFlowSimulator3D(
         grid_size=(32, 32, 32),
         x_range=1.0,
@@ -434,6 +442,10 @@ def test_fsi_scan_pallas_path_is_differentiable(monkeypatch):
         real_t=jnp.float32,
         use_pallas=True,
     )
+    if fast:
+        assert flow_sim.unbounded_poisson_solver.fused_curl_supported(
+            jnp.float32
+        )
     # the forced path must actually be the Pallas one: split greens pair
     assert isinstance(
         flow_sim.unbounded_poisson_solver.fourier_greens_times_dx_pow_dim,
