@@ -119,6 +119,15 @@ def flow_past_cylinder_boundary_forcing_case(
             np.c_[np.array(drag_coeffs_time), np.array(drag_coeffs)],
             delimiter=",",
         )
+    if plot:
+        # assemble the snapshots into a movie (the reference's post-loop
+        # ffmpeg call, flow_past_cylinder.py:172-179; GIF fallback when
+        # ffmpeg is absent)
+        from sopht_mpi_tpu.utils import compile_video
+
+        out = compile_video("snap_*.png", output="flow.mp4", fps=10)
+        if out:
+            logger.info(f"wrote {out}")
     return drag_coeffs_time, drag_coeffs
 
 

@@ -6,7 +6,7 @@ Counterpart of /root/reference/sopht_mpi/utils/ minus the MPI machinery
 
 from sopht_mpi_tpu.utils.types import get_dtype_eps, get_real_t, get_test_tol
 from sopht_mpi_tpu.utils.logging_utils import FlowLogger, logger
-from sopht_mpi_tpu.utils.plotting import Plotter2D, lab_cmap
+from sopht_mpi_tpu.utils.plotting import Plotter2D, compile_video, lab_cmap
 from sopht_mpi_tpu.utils.io import (
     CosseratRodIO,
     FieldBinding,

@@ -8,6 +8,8 @@ model no gather choreography is needed - fields are pulled to host with
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -77,3 +79,49 @@ class Plotter2D:
                 pass
             self._cbar = None
         self.ax.cla()
+
+
+def compile_video(frame_glob: str, output: str = "flow.mp4", fps: int = 10):
+    """Assemble saved snapshot frames into a movie - the role of the
+    reference examples' post-loop ffmpeg call
+    (flow_past_cylinder.py:172-179). Uses ffmpeg when present; otherwise
+    falls back to an animated GIF via Pillow (rewriting ``output``'s
+    extension), so headless images without ffmpeg still produce a movie.
+
+    :param frame_glob: glob matching the frames in order, e.g.
+        ``"snap_*.png"`` (lexicographic sort = temporal order for
+        zero-padded indices).
+    :returns: the path actually written, or None when no frames matched.
+    """
+    import glob
+    import shutil
+    import subprocess
+
+    frames = sorted(glob.glob(frame_glob))
+    if not frames:
+        return None
+    if shutil.which("ffmpeg"):
+        # concat demuxer: robust to arbitrary frame names
+        list_file = output + ".frames.txt"
+        with open(list_file, "w") as f:
+            for fr in frames:
+                f.write(f"file '{os.path.abspath(fr)}'\n")
+                f.write(f"duration {1.0 / fps}\n")
+        subprocess.run(
+            ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_file,
+             "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2", "-pix_fmt", "yuv420p",
+             output],
+            check=True, capture_output=True,
+        )
+        os.remove(list_file)
+        return output
+    # Pillow GIF fallback
+    from PIL import Image
+
+    gif = os.path.splitext(output)[0] + ".gif"
+    imgs = [Image.open(fr).convert("P") for fr in frames]
+    imgs[0].save(
+        gif, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return gif

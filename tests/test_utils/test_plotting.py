@@ -68,3 +68,24 @@ def test_clearfig_before_any_contourf_is_safe():
     plotter.clearfig()  # no colorbar yet - must not raise
     plotter.plot([0, 1], [0, 1])
     plotter.clearfig()
+
+
+def test_compile_video_assembles_frames(tmp_path, monkeypatch):
+    """The post-loop movie assembly (the reference examples' ffmpeg step)
+    writes a playable artifact; without ffmpeg it falls back to a GIF."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sopht_mpi_tpu.utils import compile_video
+
+    monkeypatch.chdir(tmp_path)
+    for i in range(3):
+        fig = plt.figure()
+        plt.plot([0, 1], [0, i])
+        fig.savefig(f"snap_{i:04d}.png")
+        plt.close(fig)
+    out = compile_video("snap_*.png", output="flow.mp4", fps=5)
+    assert out is not None and os.path.getsize(out) > 0
+    assert compile_video("nomatch_*.png") is None
