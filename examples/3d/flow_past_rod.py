@@ -198,10 +198,10 @@ def flow_past_rod_case(
         # length over t*=2 at 256x64x256 reference-faithful geometry,
         # 1.22x faster wall - doc/validation_rod_sparse_vs_dense.json);
         # True = require it; False = dense reference-shaped path.
+        from sopht_mpi_tpu.models import suggest_rod_forcing_window
+
         sparse_window = None
         if sparse_forcing is not False and mesh is None:
-            from sopht_mpi_tpu.models import suggest_rod_forcing_window
-
             sparse_window = suggest_rod_forcing_window(
                 cosserat_rod_flow_interactor, flow_past_rod, grid_size
             )
@@ -245,16 +245,51 @@ def flow_past_rod_case(
                 interval=final_time / 50, out_dir="snapshots"
             )
         tip_times, tip_positions = [], []
+        window_margin, regrow_attempts = 1.1, 0
         while float(carry.time) < final_time:
-            carry, diag = scan_steps(step, carry, window, donate=True)
-            if sparse_window is not None and not bool(
-                jnp.all(diag[1])
-            ):
-                raise RuntimeError(
-                    "sparse forcing window no longer covers the rod's "
-                    "marker support - enlarge sparse_forcing_window or "
-                    "disable sparse_forcing"
+            # no donation while a sparse window is active: `carry` must
+            # survive the scan so a tripped window can be REPLAYED
+            new_carry, diag = scan_steps(
+                step, carry, window, donate=sparse_window is None
+            )
+            if sparse_window is not None and not bool(jnp.all(diag[1])):
+                # the tripped window's physics is tainted from the trip
+                # step on - self-heal: grow the forcing window (falling
+                # back to the dense path when it would cover most of the
+                # grid), rebuild the fused step (one recompile), and
+                # replay this scan window from the last good carry
+                regrow_attempts += 1
+                if regrow_attempts > 3:
+                    raise RuntimeError(
+                        "sparse forcing window still tripping after 3 "
+                        "regrows - likely a substep-count overflow, not "
+                        "window coverage; disable sparse_forcing or raise "
+                        "max_rod_substeps"
+                    )
+                window_margin *= 1.3
+                sparse_window = suggest_rod_forcing_window(
+                    cosserat_rod_flow_interactor, flow_past_rod, grid_size,
+                    margin=window_margin,
                 )
+                logger.warning(
+                    "sparse forcing window outgrown mid-run; rebuilding "
+                    f"with margin {window_margin:.2f} -> window "
+                    f"{sparse_window} (None = dense) and replaying from "
+                    f"t={float(carry.time):.4f}"
+                )
+                step = build_rod_fsi_step(
+                    flow_sim,
+                    cosserat_rod_flow_interactor,
+                    flow_past_sim,
+                    dt_prefac=0.25,
+                    free_stream_fn=lambda t: jnp.asarray(
+                        velocity_free_stream, real_t
+                    ),
+                    rod_dt=rod_dt,
+                    sparse_forcing_window=sparse_window,
+                )
+                continue
+            carry = new_carry
             if snaps is not None:
                 snaps.maybe_save(
                     float(carry.time),

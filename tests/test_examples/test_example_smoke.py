@@ -227,3 +227,44 @@ def test_adjoint_viscosity_inversion_recovers_nu():
     # from a 2x-off guess, a short run should land well inside 5%
     assert rel_err < 0.05, (nu_rec, nu_true)
     assert history[-1] < history[0]
+
+
+def test_fused_rod3d_sparse_window_self_heals(monkeypatch, caplog):
+    """A sparse forcing window that no longer covers the rod's support
+    self-heals: the example loop grows the window (via a fresh
+    suggest_rod_forcing_window call), rebuilds the fused step, and
+    REPLAYS the tripped scan window from the last good carry instead of
+    raising (the previous behavior)."""
+    import logging
+
+    import sopht_mpi_tpu.models as models_mod
+    from flow_past_rod import flow_past_rod_case
+
+    real_suggest = models_mod.suggest_rod_forcing_window
+    calls = []
+
+    def undersized_then_real(interactor, rod, grid_size, margin=1.1,
+                             max_grid_fraction=0.7):
+        calls.append(margin)
+        if len(calls) == 1:
+            # deliberately too small: trips on the first scan window
+            return (6, 6, 6)
+        return real_suggest(interactor, rod, grid_size, margin=margin,
+                            max_grid_fraction=max_grid_fraction)
+
+    monkeypatch.setattr(
+        models_mod, "suggest_rod_forcing_window", undersized_then_real
+    )
+    with caplog.at_level(logging.WARNING):
+        times, tips = flow_past_rod_case(
+            n_elem=4,
+            grid_size=(32, 8, 32),
+            surface_grid_density_for_largest_element=4,
+            final_time=0.05,
+            fused=True,
+            sparse_forcing=True,
+            window=5,
+        )
+    assert len(calls) >= 2  # the regrow path re-suggested
+    assert any("outgrown mid-run" in r.message for r in caplog.records)
+    assert len(times) > 0 and np.isfinite(tips).all()
