@@ -2,7 +2,7 @@
 # /root/reference/Makefile:13-31,90-92, minus the MPI/FFTW build machinery
 # that the TPU stack does not need).
 
-.PHONY: test test-fast bench lint examples-smoke
+.PHONY: test test-fast bench bench-fast lint examples-smoke
 
 test:
 	python -m pytest tests/ -x -q
@@ -15,6 +15,9 @@ bench:
 
 bench-small:
 	BENCH_GRID=128 BENCH_STEPS=10 python bench.py
+
+bench-fast:
+	BENCH_FAST=1 python bench.py
 
 lint:
 	python -m compileall -q sopht_mpi_tpu examples tests bench.py __graft_entry__.py

@@ -392,7 +392,18 @@ if __name__ == "__main__":
         "--dense-forcing", dest="sparse_forcing", action="store_false",
         help="force the dense reference-shaped IBM forcing path",
     )
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="fast spectral mode (sopht_mpi_tpu.enable_fast_spectral): "
+        "3-pass bf16 conv matmuls + in-kernel spectral curl at ~6.6e-6 "
+        "solve error (physics validated; see README)",
+    )
     args = parser.parse_args()
+
+    if args.fast:
+        import sopht_mpi_tpu
+
+        sopht_mpi_tpu.enable_fast_spectral()
 
     mesh = None
     if args.n_devices > 1:
