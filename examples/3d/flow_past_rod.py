@@ -218,17 +218,20 @@ def flow_past_rod_case(
             raise ValueError(
                 "sparse_forcing=True needs the fused 3D unsharded path"
             )
-        step = build_rod_fsi_step(
-            flow_sim,
-            cosserat_rod_flow_interactor,
-            flow_past_sim,
-            dt_prefac=0.25,
-            free_stream_fn=lambda t: jnp.asarray(
-                velocity_free_stream, real_t
-            ),
-            rod_dt=rod_dt,
-            sparse_forcing_window=sparse_window,
-        )
+        def build_step(win):
+            return build_rod_fsi_step(
+                flow_sim,
+                cosserat_rod_flow_interactor,
+                flow_past_sim,
+                dt_prefac=0.25,
+                free_stream_fn=lambda t: jnp.asarray(
+                    velocity_free_stream, real_t
+                ),
+                rod_dt=rod_dt,
+                sparse_forcing_window=win,
+            )
+
+        step = build_step(sparse_window)
         carry = init_rod_fsi_carry(
             flow_sim, cosserat_rod_flow_interactor, flow_past_rod
         )
@@ -260,35 +263,35 @@ def flow_past_rod_case(
                 # replay this scan window from the last good carry
                 regrow_attempts += 1
                 if regrow_attempts > 3:
+                    # consecutive trips despite regrowing: window coverage
+                    # is not the cause (likely a substep-count overflow)
                     raise RuntimeError(
                         "sparse forcing window still tripping after 3 "
-                        "regrows - likely a substep-count overflow, not "
-                        "window coverage; disable sparse_forcing or raise "
-                        "max_rod_substeps"
+                        "consecutive regrows - likely a substep-count "
+                        "overflow, not window coverage; disable "
+                        "sparse_forcing or raise max_rod_substeps"
                     )
                 window_margin *= 1.3
                 sparse_window = suggest_rod_forcing_window(
                     cosserat_rod_flow_interactor, flow_past_rod, grid_size,
                     margin=window_margin,
                 )
+                if sparse_window is None and sparse_forcing is True:
+                    raise RuntimeError(
+                        "sparse forcing was REQUIRED (sparse_forcing=True) "
+                        "but the regrown window would cover most of the "
+                        "grid; rerun without --sparse-forcing to allow the "
+                        "dense fallback"
+                    )
                 logger.warning(
                     "sparse forcing window outgrown mid-run; rebuilding "
                     f"with margin {window_margin:.2f} -> window "
                     f"{sparse_window} (None = dense) and replaying from "
                     f"t={float(carry.time):.4f}"
                 )
-                step = build_rod_fsi_step(
-                    flow_sim,
-                    cosserat_rod_flow_interactor,
-                    flow_past_sim,
-                    dt_prefac=0.25,
-                    free_stream_fn=lambda t: jnp.asarray(
-                        velocity_free_stream, real_t
-                    ),
-                    rod_dt=rod_dt,
-                    sparse_forcing_window=sparse_window,
-                )
+                step = build_step(sparse_window)
                 continue
+            regrow_attempts = 0  # this window completed: heals succeeded
             carry = new_carry
             if snaps is not None:
                 snaps.maybe_save(
@@ -382,8 +385,10 @@ if __name__ == "__main__":
         default=None,
         help="require moving-window sparse IBM forcing (fused 3D unsharded "
         "only): spread + forcing curl act on an auto-sized window tracking "
-        "the rod's marker support (suggest_rod_forcing_window); hard-errors "
-        "if the support ever outgrows the window. DEFAULT is auto: sparse "
+        "the rod's marker support (suggest_rod_forcing_window); if the "
+        "support ever outgrows the window the run self-heals (regrow + "
+        "replay), erroring only if sparse would have to go dense. DEFAULT "
+        "is auto: sparse "
         "when applicable and the window fits, dense otherwise (validated "
         "sparse==dense to 2e-5 tip deviation over t*=2 at 256x64x256, "
         "doc/validation_rod_sparse_vs_dense.json)",

@@ -103,23 +103,44 @@ def compile_video(frame_glob: str, output: str = "flow.mp4", fps: int = 10):
     if shutil.which("ffmpeg"):
         # concat demuxer: robust to arbitrary frame names
         list_file = output + ".frames.txt"
-        with open(list_file, "w") as f:
-            for fr in frames:
-                f.write(f"file '{os.path.abspath(fr)}'\n")
-                f.write(f"duration {1.0 / fps}\n")
-        subprocess.run(
-            ["ffmpeg", "-y", "-f", "concat", "-safe", "0", "-i", list_file,
-             "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2", "-pix_fmt", "yuv420p",
-             output],
-            check=True, capture_output=True,
+        try:
+            with open(list_file, "w") as f:
+                for fr in frames:
+                    f.write(f"file '{os.path.abspath(fr)}'\n")
+                    f.write(f"duration {1.0 / fps}\n")
+                # the demuxer ignores the duration after the LAST entry
+                # unless the file is listed once more (ffmpeg slideshow
+                # quirk) - without this the final frame flashes by
+                f.write(f"file '{os.path.abspath(frames[-1])}'\n")
+            proc = subprocess.run(
+                ["ffmpeg", "-y", "-f", "concat", "-safe", "0",
+                 "-i", list_file,
+                 "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
+                 "-pix_fmt", "yuv420p", output],
+                capture_output=True, text=True,
+            )
+        finally:
+            if os.path.exists(list_file):
+                os.remove(list_file)
+        if proc.returncode == 0:
+            return output
+        # a present-but-failing ffmpeg (codec build, unwritable output)
+        # must not crash a finished run: log and degrade to the GIF path
+        from sopht_mpi_tpu.utils.logging_utils import logger
+
+        logger.warning(
+            f"ffmpeg failed (rc={proc.returncode}): "
+            f"{proc.stderr.strip().splitlines()[-1] if proc.stderr else ''}"
+            " - falling back to an animated GIF"
         )
-        os.remove(list_file)
-        return output
     # Pillow GIF fallback
     from PIL import Image
 
     gif = os.path.splitext(output)[0] + ".gif"
-    imgs = [Image.open(fr).convert("P") for fr in frames]
+    imgs = []
+    for fr in frames:
+        with Image.open(fr) as im:
+            imgs.append(im.convert("P"))  # convert() copies; file closes
     imgs[0].save(
         gif, save_all=True, append_images=imgs[1:],
         duration=int(1000 / fps), loop=0,

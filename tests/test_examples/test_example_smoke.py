@@ -262,9 +262,39 @@ def test_fused_rod3d_sparse_window_self_heals(monkeypatch, caplog):
             surface_grid_density_for_largest_element=4,
             final_time=0.05,
             fused=True,
-            sparse_forcing=True,
+            sparse_forcing=None,  # auto: dense fallback permitted
             window=5,
         )
     assert len(calls) >= 2  # the regrow path re-suggested
     assert any("outgrown mid-run" in r.message for r in caplog.records)
     assert len(times) > 0 and np.isfinite(tips).all()
+
+
+def test_fused_rod3d_required_sparse_refuses_dense_fallback(monkeypatch):
+    """sparse_forcing=True is a CONTRACT: if a mid-run regrow would have
+    to fall back to the dense path, the run fails loudly instead of
+    silently switching."""
+    import sopht_mpi_tpu.models as models_mod
+    from flow_past_rod import flow_past_rod_case
+
+    calls = []
+
+    def undersized_then_none(interactor, rod, grid_size, margin=1.1,
+                             max_grid_fraction=0.7):
+        calls.append(margin)
+        # first call (build): too small -> trips; regrow: no valid window
+        return (6, 6, 6) if len(calls) == 1 else None
+
+    monkeypatch.setattr(
+        models_mod, "suggest_rod_forcing_window", undersized_then_none
+    )
+    with pytest.raises(RuntimeError, match="REQUIRED"):
+        flow_past_rod_case(
+            n_elem=4,
+            grid_size=(32, 8, 32),
+            surface_grid_density_for_largest_element=4,
+            final_time=0.05,
+            fused=True,
+            sparse_forcing=True,
+            window=5,
+        )
