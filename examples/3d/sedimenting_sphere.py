@@ -21,11 +21,13 @@ systematic effects, each O(10%) at the default configuration:
 - unsteadiness: the Stokes flow field develops on the box viscous time
   L^2/nu >> tau, so v(t) keeps creeping toward the asymptote long after
   the ballistic relaxation tau.
-Measured: v_z/v_t = 0.51 (and slowly rising) at 64^3 after 8 tau, 0.33 at
-32^3 after 6 tau - the right magnitude with corrections of the predicted
-size and sign, while the rigid-body integrator itself is validated
-exactly in tests/test_models/test_rigid_body.py (ballistic trajectory,
-momentum/energy conservation, spin-up).
+Measured resolution trend (monotone toward v_t as the effective-radius
+correction shrinks): v_z/v_t = 0.33 at 32^3 (6 tau), 0.51 at 64^3
+(8 tau), 0.607 at 128^3 (8 tau, f32 on TPU) - the right magnitude with
+corrections of the predicted size and sign (confinement alone bounds the
+asymptote ~17% below v_t at this R/L), while the rigid-body integrator
+itself is validated exactly in tests/test_models/test_rigid_body.py
+(ballistic trajectory, momentum/energy conservation, spin-up).
 
 Run:  python examples/3d/sedimenting_sphere.py --grid-size 64
 """
