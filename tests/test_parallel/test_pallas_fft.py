@@ -316,3 +316,18 @@ def test_fast_spectral_matmuls_conv_pass_accuracy(monkeypatch):
                                atol=3e-5 * scale)
     np.testing.assert_allclose(np.asarray(fast[1]), np.asarray(ref[1]),
                                atol=3e-5 * scale)
+
+
+def test_enable_fast_spectral_toggles_both_flags(monkeypatch):
+    """The public fast-mode switch sets (and clears) both opt-in flags."""
+    import sopht_mpi_tpu
+    import sopht_mpi_tpu.ops.poisson as poisson_mod
+    import sopht_mpi_tpu.parallel.pallas_fft as pf
+
+    monkeypatch.setattr(pf, "FAST_SPECTRAL_MATMULS", False)
+    monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", False)
+    sopht_mpi_tpu.enable_fast_spectral()
+    assert pf.FAST_SPECTRAL_MATMULS and poisson_mod.USE_FUSED_SPECTRAL_CURL
+    sopht_mpi_tpu.enable_fast_spectral(False)
+    assert not pf.FAST_SPECTRAL_MATMULS
+    assert not poisson_mod.USE_FUSED_SPECTRAL_CURL
