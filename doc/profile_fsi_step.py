@@ -20,9 +20,6 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np  # noqa: E402
-
-
 def main():
     import jax
     import jax.numpy as jnp

@@ -73,7 +73,10 @@ def main():
         window=args.window,
         mesh=mesh,
     )
-    logger.info(f"done: t*={times[-1]:.2f} Cd={cds[-1]:.4f}")
+    if times:
+        logger.info(f"done: t*={times[-1]:.2f} Cd={cds[-1]:.4f}")
+    else:
+        logger.warning("no scan windows ran (nondim_time <= 0?)")
 
 
 if __name__ == "__main__":
