@@ -11,6 +11,14 @@ loads, the fixed sphere's penalty interaction, both spreads, and the flow
 step - is ONE fused device-scanned function
 (``models.fsi.build_multi_body_fsi_step``).
 
+Physics-long TPU validation (64x64x128, n_elem=16, t=3.0,
+doc/validation_rod_and_sphere_64x64x128.csv): the rod settles into a
+small-amplitude bending equilibrium (tip x-deflection band ~0.02 of
+x_range at Cauchy 0.1) and the sphere's drag settles to Cd ~= 0.55 -
+roughly half the isolated-sphere value at this Re, as expected for a
+body shielded in the rod's wake (sphere at x=0.65 x_range directly
+downstream of the rod at x=0.25 x_range).
+
 Run:  python examples/3d/rod_and_sphere.py --grid-size-x 64 --final-time 1
 """
 
