@@ -213,7 +213,16 @@ if __name__ == "__main__":
     parser.add_argument("--n-elem", type=int, default=None)
     parser.add_argument("--n-devices", type=int, default=1)
     parser.add_argument("--precision", default="single")
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="fast spectral mode (sopht_mpi_tpu.enable_fast_spectral)",
+    )
     args = parser.parse_args()
+
+    if args.fast:
+        import sopht_mpi_tpu
+
+        sopht_mpi_tpu.enable_fast_spectral()
 
     mesh = None
     if args.n_devices > 1:
