@@ -331,3 +331,26 @@ def test_enable_fast_spectral_toggles_both_flags(monkeypatch):
     sopht_mpi_tpu.enable_fast_spectral(False)
     assert not pf.FAST_SPECTRAL_MATMULS
     assert not poisson_mod.USE_FUSED_SPECTRAL_CURL
+
+
+def test_production_tile_choices_are_pinned():
+    """The measured-optimal / probed-safe tile picks for the production
+    shapes must not silently regress (bt=512 measured 20.8 ms vs 24.3 at
+    bt=256 and 30.0 at bt=128 for the 256^3 conv pass; the curl/merge
+    tiles are scoped-vmem-probed - see PLAN.md and the budget docstrings)."""
+    from sopht_mpi_tpu.parallel.pallas_fft import (
+        _conv_budget,
+        _conv_curl_budget,
+        _merge_velocity_rtile,
+        _pick_btile,
+        conv_curl_pass_tile_ok,
+    )
+
+    b_256 = 512 * 256  # my*bx at 256^3
+    assert _pick_btile(b_256, _conv_budget(512)) == 512
+    assert _pick_btile(b_256, _conv_curl_budget(512)) == 128
+    # m=1024 overflows scoped vmem even at bt=128 (hardware-probed)
+    assert not conv_curl_pass_tile_ok(1024 * 512, 1024)
+    # epilogue merge: production 256^3 keeps rt=256; nx=512 drops to 64
+    assert _merge_velocity_rtile(256 * 256, 256, 256) == 256
+    assert _merge_velocity_rtile(256 * 256, 512, 512) == 64
