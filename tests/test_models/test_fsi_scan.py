@@ -864,3 +864,48 @@ def test_multi_body_dynamic_rigid_two_way_coupling():
     # the x-stream drags the body downstream
     assert float(state.velocity[0]) > 0
     assert float(state.position[0]) > 0.4
+
+
+def test_fsi_scan_gradient_assimilates_initial_condition():
+    """The gradients are USABLE, not just finite: descent on a scalar
+    initial-vorticity amplitude recovers the truth from the final flow
+    state alone - data assimilation through the full coupled FSI rollout
+    (CFL dt control, IBM penalty interaction, NS step). The observation
+    is the final FIELD: a force-trace misfit has fine wiggles from the
+    amplitude->dt-control coupling (AD verified equal to finite
+    differences there; the wiggles are real physics of the adaptive-dt
+    observation operator, not a VJP bug)."""
+    flow_sim, interactor = _cylinder_case()
+    step = build_rigid_fsi_step(flow_sim, interactor, dt_prefac=0.5)
+    carry = init_rigid_fsi_carry(flow_sim, interactor, step)
+    rng = np.random.default_rng(3)
+    base_omega = jnp.asarray(
+        rng.standard_normal(carry.flow_state.primary_scalar_field.shape)
+    )
+    base_u = carry.flow_state.velocity_field + 1.0
+
+    def final_field(amplitude):
+        c = carry._replace(
+            flow_state=carry.flow_state._replace(
+                primary_scalar_field=amplitude * base_omega,
+                velocity_field=base_u,
+            )
+        )
+        c2, _ = scan_steps(step, c, 4)
+        return c2.flow_state.primary_scalar_field
+
+    a_true = 0.8
+    obs = final_field(a_true)
+    loss = jax.jit(
+        jax.value_and_grad(
+            lambda a: jnp.mean((final_field(a) - obs) ** 2)
+        )
+    )
+    # sign descent with geometric step decay: monotone bracketing of the
+    # scalar optimum, insensitive to the loss scale
+    a, lr = jnp.asarray(1.6), 0.4  # 2x off
+    for _ in range(25):
+        _, g = loss(a)
+        a = a - lr * jnp.sign(g)
+        lr = max(lr * 0.7, 1e-3)
+    assert abs(float(a) - a_true) < 5e-3, float(a)
