@@ -364,7 +364,16 @@ if __name__ == "__main__":
         "--host-loop", dest="fused", action="store_false",
         help="host-driven eager loop (CPU debugging)",
     )
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="fast spectral mode (sopht_mpi_tpu.enable_fast_spectral)",
+    )
     args = parser.parse_args()
+
+    if args.fast:
+        import sopht_mpi_tpu
+
+        sopht_mpi_tpu.enable_fast_spectral()
 
     mesh = None
     if args.n_devices > 1:

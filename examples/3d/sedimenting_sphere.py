@@ -143,7 +143,16 @@ if __name__ == "__main__":
     parser.add_argument("--grid-size", type=int, default=64)
     parser.add_argument("--precision", default="double")
     parser.add_argument("--n-tau", type=float, default=6.0)
+    parser.add_argument(
+        "--fast", action="store_true",
+        help="fast spectral mode (sopht_mpi_tpu.enable_fast_spectral)",
+    )
     args = parser.parse_args()
+
+    if args.fast:
+        import sopht_mpi_tpu
+
+        sopht_mpi_tpu.enable_fast_spectral()
     times, vels, v_t = sedimenting_sphere_case(
         grid_size=(args.grid_size,) * 3,
         precision=args.precision,
