@@ -298,3 +298,27 @@ def test_fused_rod3d_required_sparse_refuses_dense_fallback(monkeypatch):
             sparse_forcing=True,
             window=5,
         )
+
+
+def test_pod_driver_script_runs_on_virtual_devices(tmp_path):
+    """doc/tpu/pod_flow_past_sphere.py (the cluster-submission-script
+    analogue) bootstraps, auto-factors the mesh over all devices, and
+    completes a short sharded run."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "doc", "tpu", "pod_flow_past_sphere.py"),
+         "--grid-size-x", "32", "--nondim-time", "0.05", "--window", "5"],
+        env=env, cwd=tmp_path, capture_output=True, text=True, timeout=540,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-2000:]
+    assert "devices: 8" in out and "done:" in out, out[-2000:]
