@@ -27,22 +27,24 @@ __version__ = "0.1.0"
 
 
 def enable_fast_spectral(enable: bool = True) -> None:
-    """Opt into the fast spectral-solve mode (both flags together):
+    """Set the construction-time DEFAULT for the Poisson solvers'
+    ``fast_spectral`` mode (3-pass bf16 hi/lo matmuls in the fused conv
+    kernels - solve rel err ~6.6e-6 vs the default 6-pass HIGHEST
+    emulation's ~1e-7 - plus the in-kernel spectral-curl velocity
+    recovery, numerically exact and a measured win only under those
+    matmuls).
 
-    - ``parallel.pallas_fft.FAST_SPECTRAL_MATMULS``: 3-pass bf16 hi/lo
-      matmuls in the fused conv kernel (solve rel err ~6.6e-6 vs the
-      default 6-pass HIGHEST emulation's ~1e-7);
-    - ``ops.poisson.USE_FUSED_SPECTRAL_CURL``: velocity-recovery curl
-      mixed inside that kernel (numerically exact; a measured win only
-      under the 3-pass matmuls).
+    The mode is per-solver state (``UnboundedPoissonSolver2D/3D(...,
+    fast_spectral=...)``, or ``UnboundedFlowSimulator2D/3D(...,
+    fast_spectral=...)``); this helper only changes what ``None`` means
+    for solvers built AFTER the call - already-built solvers and
+    anything compiled from them are unaffected, and two solvers with
+    different modes coexist in one process.
 
     Measured at 256^3 FSI on one v5e chip: 40.6 -> 36.4 ms/step (~+11%);
     sphere-drag validation identical to ~3e-4 (Cd 1.3376 vs 1.3380).
-    Call BEFORE building simulators/steps (the flags are read at trace
-    time). The default path stays accuracy-parity with the reference's
+    The default path stays accuracy-parity with the reference's
     float32 FFTW."""
     from sopht_mpi_tpu.ops import poisson as _poisson
-    from sopht_mpi_tpu.parallel import pallas_fft as _pf
 
-    _pf.FAST_SPECTRAL_MATMULS = bool(enable)
-    _poisson.USE_FUSED_SPECTRAL_CURL = bool(enable)
+    _poisson.DEFAULT_FAST_SPECTRAL = bool(enable)

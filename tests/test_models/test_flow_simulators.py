@@ -194,13 +194,13 @@ def test_3d_step_pallas_path_matches_jnp_path(monkeypatch):
 
 
 def test_3d_step_fused_spectral_curl_matches_jnp_path(monkeypatch):
-    """The opt-in fused spectral-curl velocity recovery
-    (poisson.USE_FUSED_SPECTRAL_CURL: curl mixed inside the conv kernel,
-    ring/free-stream/CFL epilogue inside the c2r merge) matches the jnp
-    fork through a full Navier-Stokes step."""
+    """The opt-in per-solver fast mode (fast_spectral=True: curl mixed
+    inside the conv kernel, ring/free-stream/CFL epilogue inside the c2r
+    merge, 3-pass bf16 conv matmuls) matches the jnp fork through a full
+    Navier-Stokes step."""
     import sopht_mpi_tpu.ops.poisson as poisson_mod
 
-    def build(use_pallas):
+    def build(use_pallas, fast=False):
         sim = UnboundedFlowSimulator3D(
             grid_size=(32, 32, 32),
             x_range=1.0,
@@ -209,6 +209,7 @@ def test_3d_step_fused_spectral_curl_matches_jnp_path(monkeypatch):
             with_free_stream_flow=True,
             real_t=jnp.float32,
             use_pallas=use_pallas,
+            fast_spectral=fast,
         )
         rng = np.random.default_rng(7)
         sim.primary_field = jnp.asarray(
@@ -220,12 +221,11 @@ def test_3d_step_fused_spectral_curl_matches_jnp_path(monkeypatch):
 
     w_ref, u_ref = build(False)
     monkeypatch.setattr(poisson_mod, "FORCE_PALLAS_CONVOLVE", True)
-    monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", True)
     # the fused path must actually engage, or this test silently collapses
     # into a duplicate of the ordinary pallas-vs-jnp parity test
     probe = poisson_mod.UnboundedPoissonSolver3D(32, 32, 32, x_range=1.0)
     assert probe.fused_curl_supported(jnp.float32)
-    w_pal, u_pal = build(True)
+    w_pal, u_pal = build(True, fast=True)
     np.testing.assert_allclose(
         w_pal, w_ref, atol=2e-4 * max(1.0, np.abs(w_ref).max())
     )

@@ -426,13 +426,9 @@ def test_fsi_scan_pallas_path_is_differentiable(monkeypatch, fast):
     )
 
     monkeypatch.setattr(poisson_mod, "FORCE_PALLAS_CONVOLVE", True)
-    if fast:
-        # the BENCH_FAST configuration: 3-pass matmuls + in-kernel curl
-        # (their custom VJPs ride the jnp formulations; grads must flow)
-        import sopht_mpi_tpu.parallel.pallas_fft as pf
-
-        monkeypatch.setattr(pf, "FAST_SPECTRAL_MATMULS", True)
-        monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", True)
+    # fast = the BENCH_FAST configuration: 3-pass matmuls + in-kernel curl
+    # (their custom VJPs ride the jnp formulations; grads must flow),
+    # now per-solver state threaded from the simulator kwarg
     flow_sim = UnboundedFlowSimulator3D(
         grid_size=(32, 32, 32),
         x_range=1.0,
@@ -441,6 +437,7 @@ def test_fsi_scan_pallas_path_is_differentiable(monkeypatch, fast):
         with_free_stream_flow=True,
         real_t=jnp.float32,
         use_pallas=True,
+        fast_spectral=fast,
     )
     if fast:
         assert flow_sim.unbounded_poisson_solver.fused_curl_supported(

