@@ -95,6 +95,11 @@ def _diffusion_timestep_vector_3d_impl(vector_field, nu_dt_by_dx2, interpret):
     """Pallas version of ``diffusion_timestep_vector_3d`` (exact parity)."""
     _, nz, ny, nx = vector_field.shape
     if not _plane_fits(vector_field.shape, 3):
+        yt = _pick_stencil_ytiles(
+            vector_field.shape, 3, vector_field.dtype.itemsize
+        )
+        if yt is not None:
+            return _diffusion_tiled(vector_field, nu_dt_by_dx2, yt, interpret)
         return _jnp_ops.diffusion_timestep_vector_3d(vector_field, nu_dt_by_dx2)
     prefac = jnp.asarray(nu_dt_by_dx2, vector_field.dtype).reshape(1, 1)
     plane = lambda off: pl.BlockSpec(
@@ -180,6 +185,13 @@ def _curl_3d_impl(field, prefactor, add_vector, interpret, compute_l1_max):
     """
     _, nz, ny, nx = field.shape
     if not _plane_fits(field.shape, 3):
+        yt = _pick_stencil_ytiles(field.shape, 3, field.dtype.itemsize)
+        if yt is not None:
+            if add_vector is None:
+                add_vector = jnp.zeros(3, field.dtype)
+            return _curl_tiled(
+                field, prefactor, add_vector, yt, interpret, compute_l1_max
+            )
         out = _jnp_ops.curl_3d(field, prefactor)
         if add_vector is not None:
             out = out + add_vector[:, None, None, None]
@@ -255,6 +267,13 @@ def _rotational_curl_add_3d_impl(vorticity, velocity, prefactor, interpret):
     prefac)``) in one streaming pass."""
     _, nz, ny, nx = vorticity.shape
     if not _plane_fits(vorticity.shape, 6):
+        yt = _pick_stencil_ytiles(
+            vorticity.shape, 6, vorticity.dtype.itemsize
+        )
+        if yt is not None:
+            return _rotational_tiled(
+                vorticity, velocity, prefactor, yt, interpret
+            )
         from sopht_mpi_tpu.ops.elementwise import cross_product_3d
 
         q = cross_product_3d(velocity, vorticity)
@@ -280,6 +299,280 @@ def _rotational_curl_add_3d_impl(vorticity, velocity, prefactor, interpret):
         out_shape=jax.ShapeDtypeStruct(vorticity.shape, vorticity.dtype),
         interpret=interpret,
     )(prefac, vorticity, vorticity, vorticity, velocity, velocity, velocity)
+
+
+# ---------------------------------------------------------------------------
+# y-tiled variants (512^2-plane support)
+#
+# At 512^2 planes the whole-plane working sets above exceed scoped VMEM
+# (_plane_fits fails) and round 1-3 fell back to the jnp ops - the 31%
+# per-cell 512^3 regression of VERDICT r03. Block index maps move in
+# units of the block shape, so a +-1-row halo cannot ride the y-tile
+# block itself; instead each kernel takes two extra 8-ROW STRIP inputs
+# whose index maps address the neighboring y-tile's edge rows at
+# 8-sublane block granularity (rows % 8 == 0). The strips cost
+# 2*8/rows extra reads (~6% at rows=128) vs the 3x z-neighbor reads the
+# whole-plane kernels already pay. Wall semantics stay exact: the ring
+# masks take GLOBAL row indices (j * rows + r), so the garbage rows a
+# clipped strip would contribute at the physical wall are zeroed exactly
+# where the whole-plane kernels zero them.
+# ---------------------------------------------------------------------------
+
+# explicit double-buffered VMEM budget for the y-tiled stencil kernels
+# (strips excluded: <2% of the tile bytes at the sizes that tile)
+_STENCIL_TILED_BUDGET = 12 * 1024 * 1024
+
+
+def _pick_stencil_ytiles(shape, n_tile_inputs: int, itemsize: int = 4):
+    """Smallest y-tile count whose (n_tile_inputs + 1 out, double-buffered)
+    working set fits scoped VMEM with >= 16 rows per 8-aligned tile;
+    None -> jnp fallback. nyt == 1 never returned (the whole-plane kernels
+    already cover it without strip reads)."""
+    _, nz, ny, nx = shape
+    for yt in (2, 4, 8, 16, 32):
+        if ny % yt:
+            continue
+        rows = ny // yt
+        if rows < 16 or rows % 8:
+            break
+        if (2 * (n_tile_inputs + 1) * 3 * rows * nx * itemsize
+                <= _STENCIL_TILED_BUDGET):
+            return yt
+    return None
+
+
+def _tiled_ring_mask(rows, nx, j, ny, dtype):
+    """(rows, nx) in-plane interior mask of y-tile ``j`` in GLOBAL row
+    coordinates (the _ring_mask of the whole plane, restricted to the
+    tile)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 0) + j * rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 1)
+    interior = (row > 0) & (row < ny - 1) & (col > 0) & (col < nx - 1)
+    return interior.astype(dtype)
+
+
+def _ext_rows(center, up, dn):
+    """(3, rows, nx) tile extended with its two y-halo rows from the 8-row
+    neighbor strips -> (3, rows + 2, nx)."""
+    return jnp.concatenate([up[:, -1:, :], center, dn[:, :1, :]], axis=1)
+
+
+def _ytile_specs(nz, ny, nx, rows):
+    """(tile(off), strip_up, strip_dn) BlockSpec builders for grid
+    (nz, ny // rows): ``tile(off)`` is the (3, 1, rows, nx) y-tile at
+    z-plane i+off (clipped), the strips are the 8-row edge blocks of the
+    y-neighbor tiles at the CENTER z-plane (clipped at the global walls -
+    the global-row ring mask zeroes the rows those duplicates feed)."""
+    nyb8 = ny // 8
+    r8 = rows // 8
+    tile = lambda off: pl.BlockSpec(
+        (3, 1, rows, nx),
+        lambda i, j, off=off: (0, jnp.clip(i + off, 0, nz - 1), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    strip_up = pl.BlockSpec(
+        (3, 1, 8, nx),
+        lambda i, j: (0, i, jnp.clip(j * r8 - 1, 0, nyb8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    strip_dn = pl.BlockSpec(
+        (3, 1, 8, nx),
+        lambda i, j: (0, i, jnp.clip((j + 1) * r8, 0, nyb8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return tile, strip_up, strip_dn
+
+
+def _diffusion_tiled_kernel(ny, prefac_ref, f_zm, f_c, f_zp, f_up, f_dn,
+                            out_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    j = pl.program_id(1)
+    c = f_c[:, 0]
+    rows, nx = c.shape[-2], c.shape[-1]
+    p = prefac_ref[0, 0]
+    ext = _ext_rows(c, f_up[:, 0], f_dn[:, 0])
+    # y-neighbor pair grouped first: bit-identical to the whole-plane
+    # kernel's jnp.pad(c[2:] + c[:-2]) association
+    lap = (
+        f_zm[:, 0]
+        + f_zp[:, 0]
+        - 6.0 * c
+        + (ext[:, 2:, :] + ext[:, :-2, :])
+        + jnp.pad(c[:, :, 2:] + c[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    )
+    mask = _tiled_ring_mask(rows, nx, j, ny, c.dtype)
+    on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
+    out_ref[:, 0] = c + jnp.where(on_z_wall, 0.0, 1.0) * p * mask * lap
+
+
+def _diffusion_tiled(vector_field, nu_dt_by_dx2, yt, interpret):
+    _, nz, ny, nx = vector_field.shape
+    rows = ny // yt
+    prefac = jnp.asarray(nu_dt_by_dx2, vector_field.dtype).reshape(1, 1)
+    tile, s_up, s_dn = _ytile_specs(nz, ny, nx, rows)
+    f = vector_field
+    return pl.pallas_call(
+        functools.partial(_diffusion_tiled_kernel, ny),
+        grid=(nz, yt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            tile(-1), tile(0), tile(+1), s_up, s_dn,
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 1, rows, nx), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
+        interpret=interpret,
+    )(prefac, f, f, f, f, f)
+
+
+def _curl_tiled_kernel(ny, with_l1max, prefac_ref, add_ref, f_zm, f_c, f_zp,
+                       f_up, f_dn, *out_refs):
+    if with_l1max:
+        out_ref, max_ref = out_refs
+    else:
+        (out_ref,) = out_refs
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    j = pl.program_id(1)
+    nyt = pl.num_programs(1)
+    p = prefac_ref[0, 0]
+    c = f_c[:, 0]
+    rows, nx = c.shape[-2], c.shape[-1]
+    ext = _ext_rows(c, f_up[:, 0], f_dn[:, 0])
+    dq_dy = ext[:, 2:, :] - ext[:, :-2, :]
+    dq_dx = _inplane_dx(c)
+    dq_dz = f_zp[:, 0] - f_zm[:, 0]
+    mask = _tiled_ring_mask(rows, nx, j, ny, c.dtype)
+    curl = p * mask * jnp.stack(
+        [dq_dy[2] - dq_dz[1], dq_dz[0] - dq_dx[2], dq_dx[1] - dq_dy[0]]
+    )
+    on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
+    w = jnp.where(on_z_wall, 0.0, 1.0)
+    comps = []
+    for comp in range(3):
+        o = w * curl[comp] + add_ref[comp, 0]
+        out_ref[comp, 0] = o
+        comps.append(o)
+    if with_l1max:
+        # (nz, nyt) per-(plane, tile) maxima; rows of 8 planes share one
+        # (8, nyt) block. The block persists across the j sweep (same
+        # block index), so lane j accumulates via read-modify-write with
+        # a j == 0 reset (|u|_1 >= 0, so zeros never win the final max).
+        m = jnp.max(
+            jnp.abs(comps[0]) + jnp.abs(comps[1]) + jnp.abs(comps[2])
+        )
+        prev = max_ref[pl.dslice(i % 8, 1), :]
+        base = jnp.where(j == 0, jnp.zeros_like(prev), prev)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nyt), 1)
+        max_ref[pl.dslice(i % 8, 1), :] = jnp.where(lane == j, m, base)
+
+
+def _curl_tiled(field, prefactor, add_vector, yt, interpret, compute_l1_max):
+    _, nz, ny, nx = field.shape
+    rows = ny // yt
+    prefac = jnp.asarray(prefactor, field.dtype).reshape(1, 1)
+    add = jnp.asarray(add_vector, field.dtype).reshape(3, 1)
+    tile, s_up, s_dn = _ytile_specs(nz, ny, nx, rows)
+    out_specs = [
+        pl.BlockSpec(
+            (3, 1, rows, nx), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    out_shape = [jax.ShapeDtypeStruct(field.shape, field.dtype)]
+    if compute_l1_max:
+        out_specs.append(
+            pl.BlockSpec((8, yt), lambda i, j: (i // 8, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nz, yt), field.dtype))
+    res = pl.pallas_call(
+        functools.partial(_curl_tiled_kernel, ny, compute_l1_max),
+        grid=(nz, yt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            tile(-1), tile(0), tile(+1), s_up, s_dn,
+        ],
+        out_specs=out_specs if compute_l1_max else out_specs[0],
+        out_shape=out_shape if compute_l1_max else out_shape[0],
+        interpret=interpret,
+    )(prefac, add, field, field, field, field, field)
+    if compute_l1_max:
+        velocity, tile_max = res
+        return velocity, jnp.max(tile_max)
+    return res
+
+
+def _rotational_tiled_kernel(ny, prefac_ref, w_zm, w_c, w_zp, u_zm, u_c,
+                             u_zp, w_up, w_dn, u_up, u_dn, out_ref):
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    j = pl.program_id(1)
+    p = prefac_ref[0, 0]
+
+    def cross(u, w):
+        return jnp.stack(
+            [
+                u[1] * w[2] - u[2] * w[1],
+                u[2] * w[0] - u[0] * w[2],
+                u[0] * w[1] - u[1] * w[0],
+            ]
+        )
+
+    wc = w_c[:, 0]
+    rows, nx = wc.shape[-2], wc.shape[-1]
+    # q = u x w on the y-extended center plane (halo rows included), and
+    # on the center rows of the z-neighbors
+    q_ext = cross(
+        _ext_rows(u_c[:, 0], u_up[:, 0], u_dn[:, 0]),
+        _ext_rows(wc, w_up[:, 0], w_dn[:, 0]),
+    )
+    q_zm = cross(u_zm[:, 0], w_zm[:, 0])
+    q_zp = cross(u_zp[:, 0], w_zp[:, 0])
+    # center-plane q recomputed from the unsliced tiles rather than sliced
+    # out of q_ext: a sublane-offset slice feeding the lane-pad concat in
+    # _inplane_dx trips Mosaic ("offset mismatch on non-concat dimension")
+    q_c = cross(u_c[:, 0], wc)
+    dq_dy = q_ext[:, 2:, :] - q_ext[:, :-2, :]
+    dq_dx = _inplane_dx(q_c)
+    dq_dz = q_zp - q_zm
+    mask = _tiled_ring_mask(rows, nx, j, ny, wc.dtype)
+    curl = p * mask * jnp.stack(
+        [dq_dy[2] - dq_dz[1], dq_dz[0] - dq_dx[2], dq_dx[1] - dq_dy[0]]
+    )
+    on_z_wall = jnp.logical_or(i == 0, i == nz - 1)
+    out_ref[:, 0] = wc + jnp.where(on_z_wall, 0.0, 1.0) * curl
+
+
+def _rotational_tiled(vorticity, velocity, prefactor, yt, interpret):
+    _, nz, ny, nx = vorticity.shape
+    rows = ny // yt
+    prefac = jnp.asarray(prefactor, vorticity.dtype).reshape(1, 1)
+    tile, s_up, s_dn = _ytile_specs(nz, ny, nx, rows)
+    w, u = vorticity, velocity
+    return pl.pallas_call(
+        functools.partial(_rotational_tiled_kernel, ny),
+        grid=(nz, yt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        + [tile(o) for o in (-1, 0, 1)] * 2
+        + [s_up, s_dn, s_up, s_dn],
+        out_specs=pl.BlockSpec(
+            (3, 1, rows, nx), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(w.shape, w.dtype),
+        interpret=interpret,
+    )(prefac, w, w, w, u, u, u, w, w, u, u)
 
 
 # ---------------------------------------------------------------------------

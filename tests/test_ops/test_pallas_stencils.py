@@ -229,3 +229,97 @@ def test_pallas_penalise_y_tiled(monkeypatch):
             w, width, interpret=True
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# y-tiled variants (512^2-plane support; VERDICT r03 next #2): planes that
+# exceed the whole-plane VMEM cap split into y-tiles with 8-row halo
+# strips. Forced here by shrinking the whole-plane cap; parity must hold
+# to fp-reassociation level (XLA FMA fusion differs between the two
+# program shapes) including at the tile seams and the physical walls.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def tiled_fields(monkeypatch):
+    import sopht_mpi_tpu.ops.pallas_stencils_3d as m
+
+    monkeypatch.setattr(m, "_VMEM_BYTES_CAP", 0)  # force the tiled path
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, 8, 32, 256), jnp.float64)
+    u = jax.random.normal(jax.random.PRNGKey(3), (3, 8, 32, 256), jnp.float64)
+    assert m._pick_stencil_ytiles(w.shape, 3, 8) is not None
+    return w, u
+
+
+def test_pallas_tiled_diffusion_matches_jnp(tiled_fields):
+    w, _ = tiled_fields
+    a = jnp.float64(0.37)
+    ref = diffusion_timestep_vector_3d(w, a)
+    out = diffusion_timestep_vector_3d_pallas(w, a, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_pallas_tiled_curl_matches_jnp_with_add_and_l1max(tiled_fields):
+    from sopht_mpi_tpu.ops.elementwise import add_fixed_val
+
+    w, _ = tiled_fields
+    a = jnp.float64(8.0)
+    fsv = jnp.asarray([1.0, -0.5, 0.25], jnp.float64)
+    ref = add_fixed_val(curl_3d(w, a), fsv)
+    out, l1 = curl_3d_pallas(
+        w, a, add_vector=fsv, interpret=True, compute_l1_max=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+    np.testing.assert_allclose(
+        float(l1), float(jnp.max(jnp.sum(jnp.abs(ref), axis=0))), atol=1e-13
+    )
+    out2 = curl_3d_pallas(w, a, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(curl_3d(w, a)), atol=1e-13
+    )
+
+
+def test_pallas_tiled_rotational_matches_jnp(tiled_fields):
+    w, u = tiled_fields
+    a = jnp.float64(0.05)
+    ref = update_vorticity_from_velocity_forcing_3d(
+        w, cross_product_3d(u, w), a
+    )
+    out = rotational_curl_add_3d_pallas(w, u, a, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_pallas_tiled_grads_flow(tiled_fields):
+    """The custom VJPs (jnp formulations) are reachable through the tiled
+    primal path."""
+    w, u = tiled_fields
+    a = jnp.float64(0.05)
+
+    def loss(f):
+        return jnp.sum(rotational_curl_add_3d_pallas(f, u, a,
+                                                     interpret=True) ** 2)
+
+    def loss_ref(f):
+        return jnp.sum(
+            update_vorticity_from_velocity_forcing_3d(
+                f, cross_product_3d(u, f), a
+            ) ** 2
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(w)), np.asarray(jax.grad(loss_ref)(w)),
+        atol=1e-12,
+    )
+
+
+def test_pallas_tiled_untileable_shape_falls_back(monkeypatch):
+    """ny too small for 8-aligned >=16-row tiles -> jnp fallback survives."""
+    import sopht_mpi_tpu.ops.pallas_stencils_3d as m
+
+    monkeypatch.setattr(m, "_VMEM_BYTES_CAP", 0)
+    w = jax.random.normal(jax.random.PRNGKey(4), (3, 6, 12, 64), jnp.float64)
+    assert m._pick_stencil_ytiles(w.shape, 3, 8) is None
+    a = jnp.float64(0.37)
+    ref = diffusion_timestep_vector_3d(w, a)
+    out = diffusion_timestep_vector_3d_pallas(w, a, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
