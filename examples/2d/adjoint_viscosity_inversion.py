@@ -51,9 +51,24 @@ def adjoint_viscosity_inversion_case(
         # outside pytest (whose conftest does this) x64 must be enabled
         # explicitly, or every float64 array silently truncates to f32 -
         # and TPUs have no f64 FFT, so double precision runs on the CPU
-        # backend (use precision="single" for an on-TPU inversion)
-        jax.config.update("jax_enable_x64", True)
-        jax.config.update("jax_platforms", "cpu")
+        # backend (use precision="single" for an on-TPU inversion).
+        # These are PROCESS-GLOBAL JAX settings: skip them when already
+        # satisfied, and warn LOUDLY when flipping a live non-CPU process
+        # to CPU (all subsequent JAX work in the process moves with it) -
+        # callers embedding this case in a larger TPU program should pass
+        # precision="single" instead.
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        if jax.default_backend() != "cpu":
+            from sopht_mpi_tpu.utils import logger as _logger
+
+            _logger.warning(
+                "adjoint_viscosity_inversion_case(precision='double') is "
+                "switching this PROCESS's JAX platform to CPU (f64 FFTs "
+                "are CPU-only); later JAX work in this process runs on "
+                "CPU too. Use precision='single' to stay on the TPU."
+            )
+            jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 

@@ -272,6 +272,7 @@ def flow_past_rod_case(
                         "sparse_forcing or raise max_rod_substeps"
                     )
                 window_margin *= 1.3
+                prev_window = sparse_window
                 sparse_window = suggest_rod_forcing_window(
                     cosserat_rod_flow_interactor, flow_past_rod, grid_size,
                     margin=window_margin,
@@ -283,6 +284,26 @@ def flow_past_rod_case(
                         "grid; rerun without --sparse-forcing to allow the "
                         "dense fallback"
                     )
+                if sparse_window == prev_window:
+                    # the grown margin produced the SAME (wall-clamped)
+                    # window: replaying would trip identically - coverage
+                    # cannot improve, so fall back to dense immediately
+                    # instead of burning replayed scan windows (and do not
+                    # blame substep overflow: the clamp is the cause)
+                    if sparse_forcing is True:
+                        raise RuntimeError(
+                            "sparse forcing window is wall-clamped and "
+                            "cannot grow further (window "
+                            f"{sparse_window} unchanged at margin "
+                            f"{window_margin:.2f}) yet the rod outran it; "
+                            "sparse_forcing=True forbids the dense "
+                            "fallback - rerun without --sparse-forcing"
+                        )
+                    logger.warning(
+                        "regrown sparse window unchanged (wall-clamped); "
+                        "falling back to the dense forcing path"
+                    )
+                    sparse_window = None
                 logger.warning(
                     "sparse forcing window outgrown mid-run; rebuilding "
                     f"with margin {window_margin:.2f} -> window "

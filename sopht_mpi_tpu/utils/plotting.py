@@ -103,15 +103,23 @@ def compile_video(frame_glob: str, output: str = "flow.mp4", fps: int = 10):
     if shutil.which("ffmpeg"):
         # concat demuxer: robust to arbitrary frame names
         list_file = output + ".frames.txt"
+
+        def _entry(path):
+            # concat-demuxer quoting: single quotes in the path must be
+            # closed, escaped, reopened ('\'' idiom), or such paths break
+            # the list parse
+            quoted = os.path.abspath(path).replace("'", "'\\''")
+            return f"file '{quoted}'\n"
+
         try:
             with open(list_file, "w") as f:
                 for fr in frames:
-                    f.write(f"file '{os.path.abspath(fr)}'\n")
+                    f.write(_entry(fr))
                     f.write(f"duration {1.0 / fps}\n")
                 # the demuxer ignores the duration after the LAST entry
                 # unless the file is listed once more (ffmpeg slideshow
                 # quirk) - without this the final frame flashes by
-                f.write(f"file '{os.path.abspath(frames[-1])}'\n")
+                f.write(_entry(frames[-1]))
             proc = subprocess.run(
                 ["ffmpeg", "-y", "-f", "concat", "-safe", "0",
                  "-i", list_file,
@@ -133,8 +141,18 @@ def compile_video(frame_glob: str, output: str = "flow.mp4", fps: int = 10):
             f"{proc.stderr.strip().splitlines()[-1] if proc.stderr else ''}"
             " - falling back to an animated GIF"
         )
-    # Pillow GIF fallback
-    from PIL import Image
+    # Pillow GIF fallback - optional too: a host with neither ffmpeg nor
+    # Pillow must not raise at the end of an otherwise-finished run
+    try:
+        from PIL import Image
+    except ImportError:
+        from sopht_mpi_tpu.utils.logging_utils import logger
+
+        logger.warning(
+            "movie assembly skipped: neither ffmpeg nor Pillow available "
+            f"(frames remain on disk: {frame_glob})"
+        )
+        return None
 
     gif = os.path.splitext(output)[0] + ".gif"
     imgs = []
