@@ -110,15 +110,11 @@ class UnboundedFlowSimulator3D:
         # per-solver fast spectral mode (None = poisson.DEFAULT_FAST_SPECTRAL
         # at solver construction; see ops/poisson.py)
         self.fast_spectral = kwargs.get("fast_spectral", None)
-        # None = auto (Pallas streaming stencils on real unsharded TPU);
-        # tests force True to exercise the kernels in interpret mode on CPU
+        # None = auto (Pallas streaming stencils on real TPU); tests
+        # force True to exercise the kernels in interpret mode on CPU.
+        # With a mesh the per-shard shard_map kernels serve instead of the
+        # unsharded plane-streaming ones (ops/pallas_stencils_sharded.py).
         self.use_pallas = kwargs.get("use_pallas", None)
-        if self.use_pallas and mesh is not None:
-            raise ValueError(
-                "use_pallas=True is incompatible with a sharded simulator "
-                "(mesh given): the plane-streaming kernels operate on "
-                "unsharded arrays; the jnp ops handle SPMD"
-            )
         self.filter_setting_dict = kwargs.get(
             "filter_setting_dict", {"order": 2, "type": "multiplicative"}
         ) or {"order": 2, "type": "multiplicative"}
@@ -205,13 +201,16 @@ class UnboundedFlowSimulator3D:
             ),
             filter_type=self.filter_setting_dict["type"],
             poisson_solver=getattr(self, "unbounded_poisson_solver", None),
-            # Pallas plane-streaming kernels for the hot NS stencils: only
-            # on real TPU with unsharded fields (the jnp ops handle SPMD)
+            # Pallas streaming kernels for the hot NS stencils: the
+            # unsharded plane kernels on a meshless TPU simulator, the
+            # per-shard shard_map kernels (explicit ppermute halos) on a
+            # sharded one
             use_pallas=(
-                (jax.default_backend() == "tpu" and self.mesh is None)
+                jax.default_backend() == "tpu"
                 if self.use_pallas is None
                 else self.use_pallas
             ),
+            mesh=self.mesh,
         )
 
         def step(
@@ -335,6 +334,7 @@ def compute_flow_velocity_3d(
     dx, penalty_zone_width, poisson_solver, with_free_stream,
     poisson_greens=None,
     use_pallas=False,
+    mesh=None,
     return_velocity_l1_max=False,
     skip_penalise=False,
 ):
@@ -374,7 +374,22 @@ def compute_flow_velocity_3d(
             return vorticity, velocity, l1_max
         return vorticity, velocity
     stream_func = poisson_solver.vector_field_solve(vorticity, poisson_greens)
-    if use_pallas:
+    if use_pallas and mesh is not None:
+        from sopht_mpi_tpu.ops.pallas_stencils_sharded import curl_3d_sharded
+
+        res = curl_3d_sharded(
+            stream_func,
+            jnp.asarray(0.5 / dx, vorticity.dtype),
+            mesh,
+            add_vector=(
+                jnp.asarray(free_stream_velocity, vorticity.dtype)
+                if with_free_stream
+                else None
+            ),
+            compute_l1_max=return_velocity_l1_max,
+        )
+        velocity, l1_max = res if return_velocity_l1_max else (res, None)
+    elif use_pallas:
         from sopht_mpi_tpu.ops.pallas_stencils_3d import curl_3d_pallas
 
         # free-stream add folded into the curl kernel: saves one full
@@ -416,6 +431,7 @@ def flow_step_3d(
     poisson_solver,
     poisson_greens=None,
     use_pallas=False,
+    mesh=None,
     return_velocity_l1_max=False,
 ) -> FlowState3D:
     """One full 3D flow timestep (pure; jit/scan-safe). Ordering matches
@@ -448,7 +464,25 @@ def flow_step_3d(
         # rotational form transport (reference :395-413)
         pref = jnp.asarray(dt / (2.0 * dx), real_t)
         penalised_in_transport = False
-        if use_pallas:
+        if use_pallas and mesh is not None:
+            # per-shard Pallas kernels with explicit ppermute halos; the
+            # filter and sponge penalisation stay on the jnp ops (XLA
+            # SPMD emits their halos/masks)
+            from sopht_mpi_tpu.ops.pallas_stencils_sharded import (
+                diffusion_timestep_vector_3d_sharded,
+                rotational_curl_add_3d_sharded,
+            )
+
+            field = rotational_curl_add_3d_sharded(field, velocity, pref,
+                                                   mesh)
+            field = diffusion_timestep_vector_3d_sharded(
+                field, nu_dt_by_dx2, mesh
+            )
+            if filter_order > 0:
+                field = laplacian_filter_vector_3d(
+                    field, filter_order, filter_type
+                )
+        elif use_pallas:
             from sopht_mpi_tpu.ops.pallas_stencils_3d import (
                 diffusion_penalise_supported,
                 diffusion_penalise_vector_3d_pallas,
@@ -500,6 +534,7 @@ def flow_step_3d(
             with_free_stream=with_free_stream,
             poisson_greens=poisson_greens,
             use_pallas=use_pallas,
+            mesh=mesh,
             return_velocity_l1_max=return_velocity_l1_max,
             skip_penalise=penalised_in_transport,
         )
