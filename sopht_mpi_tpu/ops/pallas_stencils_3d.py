@@ -1155,15 +1155,124 @@ def diffusion_penalise_supported(shape, width: int) -> bool:
     _, nz, ny, nx = shape
     return (
         width > 0
-        and _plane_fits(shape, 2 * width + 1)
+        and (
+            _plane_fits(shape, 2 * width + 1)
+            or _pick_stencil_ytiles(shape, 2 * width + 1) is not None
+        )
         and nz > 2 * width
         and ny > 2 * width
         and nx > 2 * width
     )
 
 
+def _diffusion_penalise_tiled_kernel(w, ramp_vals, ny, prefac_ref, *refs):
+    """y-tiled fused diffusion + sponge penalisation (512^2-plane
+    support): diffusion of the z-CLAMPED source plane with y-halo seam
+    strips (loaded AT the clamped plane by the index maps), then the
+    separable clamp+ramp with the y side handled in absolute-row
+    mask/select form (same scheme as _penalise_kernel)."""
+    planes_refs = refs[: 2 * w + 1]
+    s_up, s_dn, out_ref = refs[2 * w + 1:]
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)
+    j = pl.program_id(1)
+    planes = {off: planes_refs[off + w][:, 0] for off in range(-w, w + 1)}
+    p = prefac_ref[0, 0]
+    c = planes[0]
+    rows, nx = c.shape[-2], c.shape[-1]
+    delta = jnp.clip(i, w - 1, nz - w) - i  # z-clamp source offset
+    c_src = _select_plane(planes, 0, delta)
+    zm_src = _select_plane(planes, -1, delta)
+    zp_src = _select_plane(planes, +1, delta)
+    ext = _ext_rows(c_src, s_up[:, 0], s_dn[:, 0])
+    lap = (
+        zm_src
+        + zp_src
+        - 6.0 * c_src
+        + (ext[:, 2:, :] + ext[:, :-2, :])
+        + jnp.pad(
+            c_src[:, :, 2:] + c_src[:, :, :-2], ((0, 0), (0, 0), (1, 1))
+        )
+    )
+    # no z-wall flux check needed: the clamped source plane is strictly
+    # interior for w >= 2, and at w == 1 the z-ramp zeroes wall planes
+    mask = _tiled_ring_mask(rows, nx, j, ny, c.dtype)
+    d = c_src + p * mask * lap
+    # separable penalisation: x clamp+ramp, then y in absolute-row form
+    q = _penalise_x_inplane(d, ramp_vals)
+    abs_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + j * rows
+    wy = jnp.ones((rows, 1), c.dtype)
+    for k, r in enumerate(ramp_vals):
+        wy = jnp.where(abs_r == k, r, wy)
+        wy = jnp.where(abs_r == ny - 1 - k, r, wy)
+    row_lo = q[:, w - 1 : w, :]           # valid only in tile 0
+    row_hi = q[:, rows - w : rows - w + 1, :]  # valid only in the last tile
+    m_lo = (abs_r < w)[None]
+    m_hi = (abs_r > ny - 1 - w)[None]
+    y_src = jnp.where(m_lo, row_lo, jnp.where(m_hi, row_hi, q))
+    out_ref[:, 0] = (
+        _z_ramp_weight(i, nz, ramp_vals, c.dtype) * wy[None] * y_src
+    )
+
+
+def _diffusion_penalise_tiled(vector_field, nu_dt_by_dx2, width, yt,
+                              interpret):
+    _, nz, ny, nx = vector_field.shape
+    rows = ny // yt
+    ramp_vals = _ramp_vals(width)
+    prefac = jnp.asarray(nu_dt_by_dx2, vector_field.dtype).reshape(1, 1)
+    w = width
+    tile = lambda off: pl.BlockSpec(
+        (3, 1, rows, nx),
+        lambda i, j, off=off: (0, jnp.clip(i + off, 0, nz - 1), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # seam strips loaded AT the z-clamped source plane
+    nyb8 = ny // 8
+    r8 = rows // 8
+    zsrc = lambda i: jnp.clip(i, w - 1, nz - w)
+    s_up = pl.BlockSpec(
+        (3, 1, 8, nx),
+        lambda i, j: (0, zsrc(i), jnp.clip(j * r8 - 1, 0, nyb8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    s_dn = pl.BlockSpec(
+        (3, 1, 8, nx),
+        lambda i, j: (0, zsrc(i), jnp.clip((j + 1) * r8, 0, nyb8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    f = vector_field
+    return pl.pallas_call(
+        functools.partial(_diffusion_penalise_tiled_kernel, w, ramp_vals, ny),
+        grid=(nz, yt),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM)
+        ]
+        + [tile(off) for off in range(-w, w + 1)]
+        + [s_up, s_dn],
+        out_specs=pl.BlockSpec(
+            (3, 1, rows, nx), lambda i, j: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
+        interpret=interpret,
+    )(prefac, *([f] * (2 * w + 1)), f, f)
+
+
 def _diffusion_penalise_impl(vector_field, nu_dt_by_dx2, width, interpret):
     if not diffusion_penalise_supported(vector_field.shape, width):
+        out = _jnp_ops.diffusion_timestep_vector_3d(vector_field, nu_dt_by_dx2)
+        return _jnp_ops.penalise_field_boundary_vector_3d(out, width)
+    if not _plane_fits(vector_field.shape, 2 * width + 1):
+        yt = _pick_stencil_ytiles(
+            vector_field.shape, 2 * width + 1, vector_field.dtype.itemsize
+        )
+        # rows must hold distinct in-tile clamp rows (w-1 and rows-w)
+        if yt is not None and (vector_field.shape[2] // yt) >= 2 * width:
+            return _diffusion_penalise_tiled(
+                vector_field, nu_dt_by_dx2, width, yt, interpret
+            )
         out = _jnp_ops.diffusion_timestep_vector_3d(vector_field, nu_dt_by_dx2)
         return _jnp_ops.penalise_field_boundary_vector_3d(out, width)
     _, nz, ny, nx = vector_field.shape

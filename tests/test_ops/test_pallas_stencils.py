@@ -323,3 +323,29 @@ def test_pallas_tiled_untileable_shape_falls_back(monkeypatch):
     ref = diffusion_timestep_vector_3d(w, a)
     out = diffusion_timestep_vector_3d_pallas(w, a, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+@pytest.mark.parametrize("width", [1, 2, 3])
+def test_pallas_tiled_diffusion_penalise_fused_matches_jnp(width, monkeypatch):
+    """The y-tiled fused diffusion+penalise (512^2-plane support) equals
+    the jnp composition, including the z-clamp near walls and the in-tile
+    y clamp rows."""
+    from sopht_mpi_tpu.ops import (
+        diffusion_timestep_vector_3d,
+        penalise_field_boundary_vector_3d,
+    )
+    from sopht_mpi_tpu.ops.pallas_stencils_3d import (
+        diffusion_penalise_supported,
+        diffusion_penalise_vector_3d_pallas,
+    )
+    import sopht_mpi_tpu.ops.pallas_stencils_3d as m
+
+    w = jax.random.normal(jax.random.PRNGKey(9), (3, 10, 32, 256), jnp.float64)
+    a = jnp.float64(0.1)
+    ref = penalise_field_boundary_vector_3d(
+        diffusion_timestep_vector_3d(w, a), width
+    )
+    monkeypatch.setattr(m, "_VMEM_BYTES_CAP", 0)  # force the tiled path
+    assert diffusion_penalise_supported(w.shape, width)
+    out = diffusion_penalise_vector_3d_pallas(w, a, width, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
