@@ -60,28 +60,52 @@ def _cpu_model():
     return platform.processor() or platform.machine()
 
 
+_DEFAULT = ((64, 5), (128, 3), (256, 2))
+_STEPS = {64: 5, 128: 3, 256: 2, 512: 1}
+
+
 def main():
     ncores = os.cpu_count()
-    results = {}
-    for grid, steps in ((64, 5), (128, 3), (256, 2)):
+    grids_env = os.environ.get("BASELINE_GRIDS")
+    plan = (
+        tuple((int(g), _STEPS.get(int(g), 1)) for g in grids_env.split(","))
+        if grids_env
+        else _DEFAULT
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "baseline_cpu_measured.json"
+    )
+    # MERGE into the existing artifact so adding one grid (e.g.
+    # BASELINE_GRIDS=512 for the bench's 512^3 vs_baseline) keeps the
+    # recorded 64/128/256 measurements intact
+    try:
+        with open(path) as f:
+            prior = json.load(f).get("measured_sec_per_step_1core", {})
+    except (OSError, ValueError):
+        prior = {}
+    results = {int(g): float(s) for g, s in prior.items()}
+    for grid, steps in plan:
         sec = measure(grid, steps)
         results[grid] = sec
-        print(f"{grid}^3: {sec:.3f} s/step ({grid**3 / sec / 1e6:.2f} Mcells/s)")
+        print(f"{grid}^3: {sec:.3f} s/step ({grid**3 / sec / 1e6:.2f} Mcells/s)",
+              flush=True)
 
-    sec_256_1core = results[256]
     ranks = 64
-    derived = sec_256_1core / ranks  # ideal scaling, generous to the reference
     out = {
         "host": platform.processor() or platform.machine(),
         "cpu_model": _cpu_model(),
         "n_cores": ncores,
         "backend": "XLA CPU (this repo's jnp path, same fused FSI step as bench.py)",
-        "measured_sec_per_step_1core": {str(g): round(s, 4) for g, s in results.items()},
+        "measured_sec_per_step_1core": {
+            str(g): round(results[g], 4) for g in sorted(results)
+        },
         "assumed_ranks": ranks,
         "scaling_assumption": "ideal linear (64x over 1 core, zero comm overhead)",
-        "derived_baseline_sec_per_step_256cubed_64rank": round(derived, 4),
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baseline_cpu_measured.json")
+    if 256 in results:
+        out["derived_baseline_sec_per_step_256cubed_64rank"] = round(
+            results[256] / ranks, 4
+        )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
