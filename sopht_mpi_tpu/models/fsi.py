@@ -69,6 +69,36 @@ def velocity_l1_max(velocity_field):
     return jnp.max(jnp.sum(jnp.abs(velocity_field), axis=0))
 
 
+def _canonicalize_carry_shardings(carry, mesh):
+    """Pin every carry leaf that is not already mesh-addressed to the
+    replicated ``NamedSharding`` over ``mesh`` - the sharding the step's
+    outputs carry for such leaves under GSPMD.
+
+    Without this, the init carry's scalar/marker leaves (vb_state, time,
+    greens, ...) sit on ``SingleDeviceSharding`` while the step returns
+    them as replicated ``NamedSharding``: the SECOND ``scan_steps`` call
+    then sees different input shardings and silently RECOMPILES the whole
+    program (seconds through a remote-compile relay - measured as a
+    phantom 38x 'per-step' cost on a (1,1) mesh before this fix;
+    doc/probe_sharded_anomaly5.py)."""
+    if mesh is None:
+        return carry
+    from jax.sharding import NamedSharding
+
+    from sopht_mpi_tpu.parallel.mesh import replicated_sharding
+
+    rep = replicated_sharding(mesh)
+
+    def pin(leaf):
+        if isinstance(leaf, jax.Array) and not isinstance(
+            leaf.sharding, NamedSharding
+        ):
+            return jax.device_put(leaf, rep)
+        return leaf
+
+    return jax.tree_util.tree_map(pin, carry)
+
+
 def _flow_dt_fn(flow_sim, dt_prefac):
     """dt from the carried ``max |u|_1`` - identical arithmetic to
     ``compute_stable_timestep_{2d,3d}`` on the same reduction."""
@@ -343,7 +373,7 @@ def init_rigid_fsi_carry(flow_sim, interactor, step=None) -> RigidFSICarry:
             )
         )
     mats_np = getattr(step, "ibm_mats_np", None)
-    return RigidFSICarry(
+    carry = RigidFSICarry(
         flow_state=flow_state,
         vb_state=interactor.state,
         velocity_mismatch=jnp.zeros_like(interactor.state.position_mismatch),
@@ -356,6 +386,7 @@ def init_rigid_fsi_carry(flow_sim, interactor, step=None) -> RigidFSICarry:
             else tuple(jnp.asarray(m) for m in mats_np)
         ),
     )
+    return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 
 
 def build_rod_fsi_step(
@@ -961,7 +992,7 @@ def init_multi_body_fsi_carry(flow_sim, bodies) -> MultiBodyFSICarry:
         prev.append(
             jnp.zeros_like(spec.interactor.state.position_mismatch)
         )
-    return MultiBodyFSICarry(
+    carry = MultiBodyFSICarry(
         flow_state=flow_sim._get_state(),
         body_states=tuple(body_states),
         vb_states=tuple(vb_states),
@@ -970,6 +1001,7 @@ def init_multi_body_fsi_carry(flow_sim, bodies) -> MultiBodyFSICarry:
         greens=flow_sim._poisson_greens,
         velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
     )
+    return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 
 
 def suggest_rod_forcing_window(
@@ -1006,7 +1038,7 @@ def suggest_rod_forcing_window(
 
 
 def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:
-    return RodFSICarry(
+    carry = RodFSICarry(
         flow_state=flow_sim._get_state(),
         vb_state=interactor.state,
         rod_state=rod.state,
@@ -1014,6 +1046,7 @@ def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:
         greens=flow_sim._poisson_greens,
         velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
     )
+    return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 
 
 class FlowOnlyCarry(NamedTuple):
@@ -1062,12 +1095,13 @@ def build_flow_only_step(
 
 
 def init_flow_only_carry(flow_sim) -> FlowOnlyCarry:
-    return FlowOnlyCarry(
+    carry = FlowOnlyCarry(
         flow_state=flow_sim._get_state(),
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
         velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
     )
+    return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 
 
 def scan_steps(step_fn, carry, n_steps: int, *, donate: bool = False):

@@ -214,3 +214,54 @@ def test_rigid_fsi_sharded_matrix(mesh_shape):
     single = _rigid_fsi_final_vorticity(None, grid)
     sharded = _rigid_fsi_final_vorticity(create_mesh(3, mesh_shape), grid)
     np.testing.assert_allclose(sharded, single, atol=1e-10)
+
+
+def test_sharded_carry_is_sharding_fixed_point():
+    """The init carry's leaf shardings must equal the step's output leaf
+    shardings: a mismatch makes the SECOND scan_steps call silently
+    recompile the whole program (seconds through a remote-compile relay -
+    measured as a phantom 38x per-step cost on a (1,1) mesh;
+    doc/probe_sharded_anomaly5.py / PLAN.md round-4 anomaly)."""
+    from sopht_mpi_tpu.models import (
+        RigidBodyFlowInteraction,
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+        build_rigid_fsi_step,
+        init_rigid_fsi_carry,
+        scan_steps,
+    )
+
+    mesh = create_mesh(3, (4, 2))
+    flow_sim = UnboundedFlowSimulator3D(
+        grid_size=(16, 16, 16),
+        x_range=1.0,
+        kinematic_viscosity=1e-3,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+        real_t=jnp.float64,
+        mesh=mesh,
+    )
+    sphere = Sphere(center=np.array([0.5, 0.5, 0.5]), radius=0.15,
+                    dtype=jnp.float64)
+    fgrid = SphereForcingGrid(rigid_body=sphere,
+                              num_forcing_points_along_equator=8)
+    interactor = RigidBodyFlowInteraction(
+        flow_sim=flow_sim,
+        rigid_body=sphere,
+        forcing_grid=fgrid,
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+    )
+    step = build_rigid_fsi_step(flow_sim, interactor)
+    carry = init_rigid_fsi_carry(flow_sim, interactor, step)
+    out, _ = scan_steps(step, carry, 1)
+    in_leaves = jax.tree_util.tree_leaves_with_path(carry)
+    out_leaves = jax.tree_util.tree_leaves_with_path(out)
+    assert len(in_leaves) == len(out_leaves)
+    for (path, a), (_, b) in zip(in_leaves, out_leaves):
+        assert str(a.sharding) == str(b.sharding), (
+            f"carry leaf {jax.tree_util.keystr(path)} sharding drifts "
+            f"across the step: init {a.sharding} -> out {b.sharding} "
+            "(this forces a recompile on the second scan_steps call)"
+        )
