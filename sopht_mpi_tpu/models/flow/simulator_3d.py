@@ -466,22 +466,33 @@ def flow_step_3d(
         penalised_in_transport = False
         if use_pallas and mesh is not None:
             # per-shard Pallas kernels with explicit ppermute halos; the
-            # filter and sponge penalisation stay on the jnp ops (XLA
-            # SPMD emits their halos/masks)
+            # filter stays on the jnp ops (XLA SPMD emits its halos)
             from sopht_mpi_tpu.ops.pallas_stencils_sharded import (
+                diffusion_penalise_sharded_supported,
+                diffusion_penalise_vector_3d_sharded,
                 diffusion_timestep_vector_3d_sharded,
                 rotational_curl_add_3d_sharded,
             )
 
             field = rotational_curl_add_3d_sharded(field, velocity, pref,
                                                    mesh)
-            field = diffusion_timestep_vector_3d_sharded(
-                field, nu_dt_by_dx2, mesh
-            )
-            if filter_order > 0:
-                field = laplacian_filter_vector_3d(
-                    field, filter_order, filter_type
+            if filter_order == 0 and diffusion_penalise_sharded_supported(
+                field.shape, mesh, penalty_zone_width, field.dtype.itemsize
+            ):
+                # boundary penalisation fused into the sharded diffusion
+                # pass (the velocity-recovery stage then skips it)
+                field = diffusion_penalise_vector_3d_sharded(
+                    field, nu_dt_by_dx2, penalty_zone_width, mesh
                 )
+                penalised_in_transport = True
+            else:
+                field = diffusion_timestep_vector_3d_sharded(
+                    field, nu_dt_by_dx2, mesh
+                )
+                if filter_order > 0:
+                    field = laplacian_filter_vector_3d(
+                        field, filter_order, filter_type
+                    )
         elif use_pallas:
             from sopht_mpi_tpu.ops.pallas_stencils_3d import (
                 diffusion_penalise_supported,

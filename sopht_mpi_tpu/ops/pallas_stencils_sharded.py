@@ -41,6 +41,9 @@ from sopht_mpi_tpu.ops import stencils_3d as _jnp_ops
 from sopht_mpi_tpu.ops.pallas_stencils_3d import (
     _STENCIL_TILED_BUDGET,
     _inplane_dx,
+    _penalise_x_inplane,
+    _ramp_vals,
+    _select_plane,
 )
 
 _VSPEC = P(None, "z", "y", None)
@@ -499,3 +502,233 @@ def rotational_curl_add_3d_sharded(vorticity, velocity, prefactor, mesh, *,
         return _rot_ref_g(vorticity, velocity, prefactor)
     return _rot_vjp(vorticity, velocity, prefactor, mesh, yt,
                     _interp(interpret))
+
+
+# ---------------------------------------------------------------------------
+# fused diffusion + boundary penalisation (sponge zone)
+#
+# Sharded analogue of pallas_stencils_3d._diffusion_penalise_tiled_kernel:
+# the separable sponge out[z,y,x] = r(z) r(y) r(x) * d[s(z), s(y), s(x)]
+# (d = diffusion output, s = clip(i, w-1, N-w), r the sine ramp) rides the
+# diffusion pass, removing the whole-field jnp penalise pass that cost
+# ~11 ms/step at 256^3 under a mesh (PLAN.md round-4 overhead breakdown).
+#
+# The z-clamp source offset delta = s(gz) - gz is nonzero ONLY on z-wall
+# shards and |delta| <= w-1, so the kernel loads the ghosted z planes at
+# offsets -w..+w and selects the source planes in-kernel from the global
+# coordinate (SMEM). The clamp sources are strictly in-shard whenever
+# nzl >= 2w (gated). The y clamp rows (global w-1 and NY-w) are in-tile
+# static slices valid exactly where the global row masks are nonzero -
+# the meshless tiled kernel's scheme with shard-global row coordinates.
+# ---------------------------------------------------------------------------
+
+
+def _diffpen_sharded_kernel(NZ, NY, w, ramp_vals, prefac_ref, coord_ref,
+                            *refs):
+    n_sel = 2 * w - 1  # seam-strip / y-row plane-select window
+    planes_refs = refs[: 2 * w + 1]
+    k = 2 * w + 1
+    sup_refs = refs[k : k + n_sel]
+    sdn_refs = refs[k + n_sel : k + 2 * n_sel]
+    ylo_refs = refs[k + 2 * n_sel : k + 3 * n_sel]
+    yhi_refs = refs[k + 3 * n_sel : k + 4 * n_sel]
+    out_ref = refs[-1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nyt = pl.num_programs(1)
+    p = prefac_ref[0, 0]
+    z0 = coord_ref[0, 0]
+    y0 = coord_ref[0, 1]
+    reach = w - 1
+
+    planes = {off: planes_refs[off + w][:, 0] for off in range(-w, w + 1)}
+    c = planes[0]
+    rows, nx = c.shape[-2], c.shape[-1]
+
+    gz = z0 + i
+    delta = jnp.clip(gz, w - 1, NZ - w) - gz  # in [-(w-1), w-1]
+    c_src = _select_plane(planes, 0, delta)
+    zm_src = _select_plane(planes, -1, delta)
+    zp_src = _select_plane(planes, +1, delta)
+    sel = lambda refs_: _select_plane(
+        {off: refs_[off + reach][:, 0] for off in range(-reach, reach + 1)},
+        0, delta,
+    )
+    s_up, s_dn = sel(sup_refs), sel(sdn_refs)
+    ylo, yhi = sel(ylo_refs), sel(yhi_refs)
+
+    up = jnp.where(j == 0, ylo, s_up[:, 7:8, :])
+    dn = jnp.where(j == nyt - 1, yhi, s_dn[:, 0:1, :])
+    ext = jnp.concatenate([up, c_src, dn], axis=1)
+    lap = (
+        zm_src
+        + zp_src
+        - 6.0 * c_src
+        + (ext[:, 2:, :] + ext[:, :-2, :])
+        + jnp.pad(
+            c_src[:, :, 2:] + c_src[:, :, :-2], ((0, 0), (0, 0), (1, 1))
+        )
+    )
+    # in-plane interior mask at the (unshifted in y/x) source rows; the
+    # z-clamped source plane is strictly interior for w >= 2, and at
+    # w == 1 the z-ramp zeroes the wall planes wholesale
+    abs_r2 = jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 0) + y0 + j * rows
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, nx), 1)
+    interior = (
+        (abs_r2 > 0) & (abs_r2 < NY - 1) & (col > 0) & (col < nx - 1)
+    ).astype(c.dtype)
+    d = c_src + p * interior * lap
+
+    # separable penalisation: x clamp+ramp, then y in absolute-row form
+    q = _penalise_x_inplane(d, ramp_vals)
+    abs_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + y0 + j * rows
+    wy = jnp.ones((rows, 1), c.dtype)
+    for k_, r in enumerate(ramp_vals):
+        wy = jnp.where(abs_r == k_, r, wy)
+        wy = jnp.where(abs_r == NY - 1 - k_, r, wy)
+    row_lo = q[:, w - 1 : w, :]  # valid only in y-shard 0, tile 0
+    row_hi = q[:, rows - w : rows - w + 1, :]  # last shard, last tile
+    m_lo = (abs_r < w)[None]
+    m_hi = (abs_r > NY - 1 - w)[None]
+    y_src = jnp.where(m_lo, row_lo, jnp.where(m_hi, row_hi, q))
+
+    wz = jnp.ones((), c.dtype)
+    for k_, r in enumerate(ramp_vals):
+        wz = jnp.where(gz == k_, r, wz)
+        wz = jnp.where(gz == NZ - 1 - k_, r, wz)
+    out_ref[:, 0] = wz * wy[None] * y_src
+
+
+def _diffpen_sharded_impl(vector_field, nu_dt_by_dx2, width, mesh, yt,
+                          interpret):
+    _, nz, ny, nx = vector_field.shape
+    pz, py = mesh.shape["z"], mesh.shape["y"]
+    nzl, nyl = nz // pz, ny // py
+    rows = nyl // yt
+    w = width
+    reach = w - 1
+    nyb8 = nyl // 8
+    r8 = rows // 8
+    kern = functools.partial(
+        _diffpen_sharded_kernel, nz, ny, w, _ramp_vals(w)
+    )
+    gtile = lambda off: pl.BlockSpec(
+        (3, 1, rows, nx),
+        lambda i, j, off=off: (0, jnp.clip(i + 1 + off, 0, nzl + 1), j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    s_up = lambda d: pl.BlockSpec(
+        (3, 1, 8, nx),
+        lambda i, j, d=d: (
+            0, jnp.clip(i + 1 + d, 0, nzl + 1),
+            jnp.clip(j * r8 - 1, 0, nyb8 - 1), 0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    s_dn = lambda d: pl.BlockSpec(
+        (3, 1, 8, nx),
+        lambda i, j, d=d: (
+            0, jnp.clip(i + 1 + d, 0, nzl + 1),
+            jnp.clip((j + 1) * r8, 0, nyb8 - 1), 0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    yrow = lambda d: pl.BlockSpec(
+        (3, 1, 1, nx),
+        lambda i, j, d=d: (0, jnp.clip(i + d, 0, nzl - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0, 0), memory_space=pltpu.SMEM
+    )
+    out = pl.BlockSpec(
+        (3, 1, rows, nx), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
+    )
+    offs = list(range(-reach, reach + 1))
+
+    def body(f):
+        fg = _ghost_z(f, pz)
+        ylo, yhi = _halo_y_rows(f, py)
+        prefac = jnp.asarray(nu_dt_by_dx2, f.dtype).reshape(1, 1)
+        return pl.pallas_call(
+            kern,
+            grid=(nzl, yt),
+            in_specs=[smem((1, 1)), smem((1, 2))]
+            + [gtile(off) for off in range(-w, w + 1)]
+            + [s_up(d) for d in offs]
+            + [s_dn(d) for d in offs]
+            + [yrow(d) for d in offs] * 2,
+            out_specs=out,
+            out_shape=jax.ShapeDtypeStruct(f.shape, f.dtype),
+            interpret=interpret,
+        )(
+            prefac, _shard_coords(nzl, nyl),
+            *([fg] * (2 * w + 1)),
+            *([fg] * len(offs)),
+            *([fg] * len(offs)),
+            *([ylo] * len(offs)),
+            *([yhi] * len(offs)),
+        )
+
+    return shard_map(
+        body, mesh=mesh, in_specs=_VSPEC, out_specs=_VSPEC, check_vma=False
+    )(vector_field)
+
+
+def _diffpen_ref_g(vector_field, nu_dt_by_dx2, width):
+    out = _jnp_ops.diffusion_timestep_vector_3d(vector_field, nu_dt_by_dx2)
+    return _jnp_ops.penalise_field_boundary_vector_3d(out, width)
+
+
+_diffpen_vjp = jax.custom_vjp(
+    _diffpen_sharded_impl, nondiff_argnums=(2, 3, 4, 5)
+)
+
+
+def _diffpen_fwd(v, p, width, mesh, yt, interpret):
+    return _diffpen_sharded_impl(v, p, width, mesh, yt, interpret), (v, p)
+
+
+def _diffpen_bwd(width, mesh, yt, interpret, res, ct):
+    v, p = res
+    return jax.vjp(
+        lambda f, q: _diffpen_ref_g(f, q, width), v, p
+    )[1](ct)
+
+
+_diffpen_vjp.defvjp(_diffpen_fwd, _diffpen_bwd)
+
+
+def diffusion_penalise_sharded_supported(global_shape, mesh, width: int,
+                                         itemsize: int = 4):
+    """True when the fused sharded diffusion+penalise kernel handles this
+    (shape, mesh, sponge width); callers fall back to the separate
+    diffusion kernel + jnp penalise otherwise."""
+    if width <= 0:
+        return False
+    _, nz, ny, nx = global_shape
+    if nz <= 2 * width or ny <= 2 * width or nx <= 2 * width:
+        return False
+    yt = sharded_stencil_ytiles(global_shape, mesh, 2 * width + 1, itemsize)
+    if yt is None:
+        return False
+    pz, py = mesh.shape["z"], mesh.shape["y"]
+    nzl, rows = nz // pz, (ny // py) // yt
+    # clamp sources strictly in-shard / in-tile (see module comment)
+    return nzl >= 2 * width and rows >= 2 * width
+
+
+def diffusion_penalise_vector_3d_sharded(vector_field, nu_dt_by_dx2,
+                                         width: int, mesh, *,
+                                         interpret=None):
+    """Sharded-Pallas fused ``penalise(diffusion(f))`` (exact parity with
+    the sequential jnp ops; VJP via the jnp formulation)."""
+    if not diffusion_penalise_sharded_supported(
+        vector_field.shape, mesh, width, vector_field.dtype.itemsize
+    ):
+        return _diffpen_ref_g(vector_field, nu_dt_by_dx2, width)
+    yt = sharded_stencil_ytiles(
+        vector_field.shape, mesh, 2 * width + 1, vector_field.dtype.itemsize
+    )
+    return _diffpen_vjp(vector_field, nu_dt_by_dx2, int(width), mesh, yt,
+                        _interp(interpret))

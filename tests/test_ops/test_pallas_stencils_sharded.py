@@ -108,6 +108,100 @@ def test_sharded_untileable_shapes_fall_back(fields64):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (2, 1)])
+@pytest.mark.parametrize("width", [1, 2, 3])
+def test_sharded_diffusion_penalise_matches_single_device(
+    fields64, mesh_shape, width
+):
+    """Fused sharded diffusion+penalise == jnp penalise(diffusion(f)) on
+    the assembled global array, across pencil meshes (wall + interior
+    shards in both axes) and sponge widths."""
+    from sopht_mpi_tpu.ops import penalise_field_boundary_vector_3d
+
+    w, _ = fields64
+    mesh = create_mesh(3, mesh_shape)
+    a = jnp.float64(0.37)
+    # the kernel engages whenever the shards are thick enough for the
+    # in-shard clamp; parity must hold either way (fallback = jnp ops)
+    nzl = SHAPE[1] // mesh_shape[0]
+    expect_kernel = nzl >= 2 * width
+    assert (
+        pss.diffusion_penalise_sharded_supported(SHAPE, mesh, width, 8)
+        == expect_kernel
+    )
+    ref = penalise_field_boundary_vector_3d(
+        diffusion_timestep_vector_3d(w, a), width
+    )
+    out = pss.diffusion_penalise_vector_3d_sharded(
+        shard_vector_field(w, mesh), a, width, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_sharded_diffusion_penalise_multi_ytile(fields64, monkeypatch):
+    """yt > 1 exercises the in-tile y clamp-row slices (valid only in the
+    masked-active tiles) alongside the seam strips."""
+    from sopht_mpi_tpu.ops import penalise_field_boundary_vector_3d
+
+    w, _ = fields64
+    mesh = create_mesh(3, (2, 1))
+    monkeypatch.setattr(pss, "_STENCIL_TILED_BUDGET", 900_000)
+    yt = pss.sharded_stencil_ytiles(SHAPE, mesh, 5, 8)
+    assert yt is not None and yt > 1
+    a = jnp.float64(0.37)
+    ref = penalise_field_boundary_vector_3d(
+        diffusion_timestep_vector_3d(w, a), 2
+    )
+    out = pss.diffusion_penalise_vector_3d_sharded(
+        shard_vector_field(w, mesh), a, 2, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_sharded_diffusion_penalise_unsupported_falls_back(fields64):
+    """Shards too thin in z for the in-shard clamp (nzl < 2w) take the
+    sequential jnp ops unchanged."""
+    from sopht_mpi_tpu.ops import penalise_field_boundary_vector_3d
+
+    w, _ = fields64
+    mesh = create_mesh(3, (8, 1))  # nzl = 2 < 2*width
+    assert not pss.diffusion_penalise_sharded_supported(SHAPE, mesh, 2, 8)
+    a = jnp.float64(0.37)
+    ref = penalise_field_boundary_vector_3d(
+        diffusion_timestep_vector_3d(w, a), 2
+    )
+    out = pss.diffusion_penalise_vector_3d_sharded(
+        shard_vector_field(w, mesh), a, 2, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-13)
+
+
+def test_sharded_diffusion_penalise_grads_flow(fields64):
+    from sopht_mpi_tpu.ops import penalise_field_boundary_vector_3d
+
+    w, _ = fields64
+    mesh = create_mesh(3, (4, 2))
+    a = jnp.float64(0.37)
+    ws = shard_vector_field(w, mesh)
+
+    def loss(f):
+        return jnp.sum(
+            pss.diffusion_penalise_vector_3d_sharded(f, a, 2, mesh) ** 2
+        )
+
+    def loss_ref(f):
+        return jnp.sum(
+            penalise_field_boundary_vector_3d(
+                diffusion_timestep_vector_3d(f, a), 2
+            ) ** 2
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss)(ws)), np.asarray(jax.grad(loss_ref)(w)),
+        atol=1e-12,
+    )
+
+
 def test_sharded_grads_flow(fields64):
     """The custom VJPs (global jnp formulations) are reachable through
     the shard_map primal."""
