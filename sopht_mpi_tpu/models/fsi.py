@@ -165,9 +165,11 @@ def build_rigid_fsi_step(
         vorticity update (spread + curl on the support window only, flow
         stepped without the full-field forcing pass). The markers are
         build-time constants for a fixed rigid body, so the window is
-        exact. None = auto (3D unsharded with an interior window; measured
-        -5 ms/step at 256^3). The dense path stays the reference-shaped
-        fallback (sharded, 2D, wall-adjacent bodies). When the sparse path
+        exact. None = auto (3D with an interior window; measured -5
+        ms/step at 256^3 meshless, and under a mesh the window work runs
+        replicated - the marker math duplicates per chip instead of the
+        full-field forcing pass). The dense path stays the
+        reference-shaped fallback (2D, wall-adjacent bodies). When the sparse path
         engages, the returned step has ``uses_sparse_forcing = True`` and a
         one-time log line records the window; pair it with
         ``init_rigid_fsi_carry(flow_sim, interactor, step)`` (passing the
@@ -187,7 +189,6 @@ def build_rigid_fsi_step(
     if (
         sparse_forcing is not False
         and dim == 3
-        and flow_sim.mesh is None
         and flow_sim.flow_type == "navier_stokes_with_forcing"
         and hasattr(flow_sim, "_step_l1_noforcing_fn")
     ):
@@ -197,7 +198,7 @@ def build_rigid_fsi_step(
     if sparse_forcing is True and window is None:
         raise ValueError(
             "sparse_forcing=True requested but unsupported here (needs 3D "
-            "unsharded navier_stokes_with_forcing and an interior window)"
+            "navier_stokes_with_forcing and an interior window)"
         )
     if window is not None:
         from sopht_mpi_tpu.utils.logging_utils import logger
@@ -267,7 +268,15 @@ def _build_rigid_fsi_step_sparse(
     (RigidFSICarry.ibm_mats) so the ~100 MB combined (n, Wz*Wy) matrix is
     computed on device and never becomes a compiled-in constant. Measured
     at 256^3 / 4,586 markers: gather 6.5 -> 3.8 ms, spread 4.0 -> 3.4 ms
-    vs the XLA gather/scatter path."""
+    vs the XLA gather/scatter path.
+
+    Under a mesh the window work runs REPLICATED (the reference's
+    Lagrangian posture, SURVEY section 7): the velocity window is
+    all-gathered (small - the support covers ~8% of the domain per axis
+    pair), every chip does the identical marker math, and the single
+    windowed vorticity add lands back on the sharded field via
+    dynamic_update_slice. This replaces the dense full-field forcing
+    pass that cost ~16 ms/step at 256^3 on a (1,1) mesh."""
     from sopht_mpi_tpu.ops.ibm import (
         axis_delta_weight_matrices,
         eulerian_to_lagrangian_interpolation_mm,
@@ -283,6 +292,24 @@ def _build_rigid_fsi_step_sparse(
     dim = 3
     dx = params.dx
     wshape = (z1 - z0, y1 - y0, x1 - x0)
+
+    mesh = flow_sim.mesh
+    if mesh is not None:
+        from sopht_mpi_tpu.parallel.mesh import (
+            replicated_sharding,
+            vector_field_sharding,
+        )
+
+        _rep = replicated_sharding(mesh)
+        _vec = vector_field_sharding(mesh)
+
+        def _replicate(win):
+            return jax.lax.with_sharding_constraint(win, _rep)
+
+        def _reshard(field):
+            return jax.lax.with_sharding_constraint(field, _vec)
+    else:
+        _replicate = _reshard = lambda a: a
 
     # build-time (host/eager) A-matrix computation from the constant
     # markers; init_rigid_fsi_carry uploads these into the carry
@@ -314,9 +341,13 @@ def _build_rigid_fsi_step_sparse(
         vb_state = virtual_boundary_time_step(vb_state, prev_mismatch, dt)
         real_t = flow_state.velocity_field.dtype
         # E->L velocity interpolation: windowed separable matmuls
-        u_win = jax.lax.slice(
-            flow_state.velocity_field,
-            (0, z0, y0, x0), (3, z1, y1, x1),
+        # (all-gathered to replicated under a mesh - the marker math then
+        # runs identically on every chip, the reference's posture)
+        u_win = _replicate(
+            jax.lax.slice(
+                flow_state.velocity_field,
+                (0, z0, y0, x0), (3, z1, y1, x1),
+            )
         )
         flow_velocity = eulerian_to_lagrangian_interpolation_mm(
             u_win, mats, dx
@@ -331,10 +362,15 @@ def _build_rigid_fsi_step_sparse(
         pref = jnp.asarray(dt / (2.0 * dx), real_t)
         curl_win = curl_3d(win, pref)
         field = flow_state.primary_field
-        field = jax.lax.dynamic_update_slice(
-            field,
-            jax.lax.slice(field, (0, z0, y0, x0), (3, z1, y1, x1)) + curl_win,
-            (0, z0, y0, x0),
+        field = _reshard(
+            jax.lax.dynamic_update_slice(
+                field,
+                _replicate(
+                    jax.lax.slice(field, (0, z0, y0, x0), (3, z1, y1, x1))
+                )
+                + curl_win,
+                (0, z0, y0, x0),
+            )
         )
         fsv = jnp.asarray(
             free_stream_fn(time)

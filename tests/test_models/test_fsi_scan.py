@@ -545,6 +545,70 @@ def test_rigid_fsi_sparse_forcing_matches_dense():
     np.testing.assert_allclose(f_s, f_d, atol=1e-12)
 
 
+def test_rigid_fsi_sparse_forcing_matches_dense_sharded():
+    """Round 4: the static sparse-window forcing path engages under a
+    mesh too (window work replicated, one windowed vorticity add into the
+    sharded field) and equals the dense full-field path on the same
+    mesh."""
+    from sopht_mpi_tpu.models import (
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+    )
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    def build(sparse):
+        mesh = create_mesh(3, (4, 2))
+        flow_sim = UnboundedFlowSimulator3D(
+            grid_size=(32, 32, 32),
+            x_range=1.0,
+            kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True,
+            real_t=jnp.float64,
+            mesh=mesh,
+        )
+        sphere = Sphere(
+            center=np.array([0.5, 0.5, 0.5]), radius=0.12, dtype=jnp.float64
+        )
+        grid = SphereForcingGrid(
+            rigid_body=sphere, num_forcing_points_along_equator=10
+        )
+        interactor = RigidBodyFlowInteraction(
+            flow_sim=flow_sim,
+            rigid_body=sphere,
+            forcing_grid=grid,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+        )
+        key = jax.random.PRNGKey(5)
+        flow_sim.primary_field = flow_sim.primary_field + 0.1 * jax.random.normal(
+            key, flow_sim.primary_field.shape, jnp.float64
+        )
+        step = build_rigid_fsi_step(
+            flow_sim,
+            interactor,
+            dt_prefac=0.5,
+            free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
+            sparse_forcing=sparse,
+        )
+        assert getattr(step, "uses_sparse_forcing", False) == sparse
+        carry, forces = scan_steps(
+            step, init_rigid_fsi_carry(flow_sim, interactor, step), 3
+        )
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.vb_state.position_mismatch),
+            np.asarray(forces),
+        )
+
+    w_d, m_d, f_d = build(False)
+    w_s, m_s, f_s = build(True)
+    np.testing.assert_allclose(w_s, w_d, atol=1e-13)
+    np.testing.assert_allclose(m_s, m_d, atol=1e-13)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-12)
+
+
 def test_sparse_forcing_carry_drops_forcing_field():
     """init_rigid_fsi_carry(step=sparse) shrinks the never-read full-field
     forcing leaf to a zero-size placeholder, and the scan still runs."""
