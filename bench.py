@@ -76,14 +76,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    if os.environ.get("BENCH_FAST"):
-        # opt-in fast mode (~+11% at 256^3): 3-pass bf16 conv-kernel
-        # matmuls (solve rel err 6.6e-6 vs HIGHEST ~1e-7, sphere Cd
-        # identical to 4 decimals) + the fused spectral-curl recovery
-        # (numerically exact; a measured win only under the 3-pass
-        # matmuls - see PLAN.md). Default stays the accuracy-parity
-        # HIGHEST path. Sets the construction-time default consumed by
-        # the solver the case builds below (per-solver fast_spectral).
+    # Round 4: the fast spectral mode (3-pass bf16 conv-kernel matmuls,
+    # solve rel err 6.6e-6 vs HIGHEST ~1e-7, sphere Cd identical to 4
+    # decimals; + the numerically-exact fused spectral-curl recovery) is
+    # the TPU DEFAULT (ops/poisson.py DEFAULT_FAST_SPECTRAL). BENCH_FAST
+    # forces it on explicitly; BENCH_NO_FAST=1 benches the 6-pass HIGHEST
+    # tier (~1e-7) for A/B.
+    if os.environ.get("BENCH_NO_FAST"):
+        import sopht_mpi_tpu
+
+        sopht_mpi_tpu.enable_fast_spectral(False)
+    elif os.environ.get("BENCH_FAST"):
         import sopht_mpi_tpu
 
         sopht_mpi_tpu.enable_fast_spectral()

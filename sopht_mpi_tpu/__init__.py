@@ -29,10 +29,16 @@ __version__ = "0.1.0"
 def enable_fast_spectral(enable: bool = True) -> None:
     """Set the construction-time DEFAULT for the Poisson solvers'
     ``fast_spectral`` mode (3-pass bf16 hi/lo matmuls in the fused conv
-    kernels - solve rel err ~6.6e-6 vs the default 6-pass HIGHEST
-    emulation's ~1e-7 - plus the in-kernel spectral-curl velocity
-    recovery, numerically exact and a measured win only under those
-    matmuls).
+    kernels - solve rel err ~6.6e-6 vs the 6-pass HIGHEST emulation's
+    ~1e-7 - plus the in-kernel spectral-curl velocity recovery,
+    numerically exact and a measured win only under those matmuls).
+
+    Round 4: the mode is ON BY DEFAULT on the TPU backend (the unset
+    default is auto = fast-on-TPU; physics validated identical at
+    observable level in both modes - see ops/poisson.py
+    DEFAULT_FAST_SPECTRAL). Call ``enable_fast_spectral(False)`` - or
+    pass ``fast_spectral=False`` per solver/simulator - for the 6-pass
+    HIGHEST tier (~1e-7 solve error, ~11% slower at 256^3).
 
     The mode is per-solver state (``UnboundedPoissonSolver2D/3D(...,
     fast_spectral=...)``, or ``UnboundedFlowSimulator2D/3D(...,

@@ -344,8 +344,9 @@ def compute_flow_velocity_3d(
     inside the curl kernel on the Pallas path) when
     ``return_velocity_l1_max``.
 
-    When the solver was built with ``fast_spectral=True`` (opt-in; see
-    ops/poisson.py DEFAULT_FAST_SPECTRAL) the Pallas path instead mixes
+    When the solver was built with ``fast_spectral=True`` (the TPU
+    default since round 4; see ops/poisson.py DEFAULT_FAST_SPECTRAL) the
+    Pallas path instead mixes
     the curl INSIDE the fused z conv kernel
     (``UnboundedPoissonSolver3D.velocity_from_vorticity_fused``): the
     streamfunction never materializes, and the width-1 ring mask +

@@ -63,7 +63,29 @@ FORCE_PALLAS_CONVOLVE: bool | None = None
 #   (39.04 vs 38.44 ms: the 3-component conv kernel only tiles at bt=128
 #   and costs +2.0 ms, while the curl pass it deletes costs only ~1.2 ms
 #   pipelined behind the solve's tail) - hence one knob for both.
-DEFAULT_FAST_SPECTRAL: bool = False
+#
+# Round 4: None = auto (ON on the TPU backend, OFF elsewhere). The mode is
+# the production default on TPU: solve rel err ~6.6e-6 is single-precision
+# class (the reference's FFTW float32 pipeline is ~1e-7), and the physics
+# is validated IDENTICAL at observable level in both modes - sphere drag
+# Cd to 4 decimals at the flagship 256^3 to t*=5, the 2D cylinder Cd band
+# over a 40k-step t*=200 shedding run, 3D rod tip position to 8e-6 of rod
+# length (PLAN.md round-3 extras; doc/validation_sphere_re100_drag_256_*).
+# Opt out per solver/simulator with fast_spectral=False, or globally with
+# enable_fast_spectral(False). CPU/f64/interpret paths are unaffected
+# (None resolves to False off-TPU, so test tolerances keep HIGHEST).
+DEFAULT_FAST_SPECTRAL: bool | None = None
+
+
+def resolve_fast_spectral(flag: bool | None) -> bool:
+    """Resolve a solver's ``fast_spectral`` constructor argument: an
+    explicit bool wins; None defers to ``DEFAULT_FAST_SPECTRAL``; a None
+    default means auto (fast on the TPU backend)."""
+    if flag is not None:
+        return bool(flag)
+    if DEFAULT_FAST_SPECTRAL is not None:
+        return bool(DEFAULT_FAST_SPECTRAL)
+    return jax.default_backend() == "tpu"
 
 
 def _pallas_convolve_supported(doubled: tuple[int, ...], dtype) -> bool:
@@ -422,10 +444,7 @@ class UnboundedPoissonSolver2D:
         self.mesh = mesh
         # per-solver fast mode (see DEFAULT_FAST_SPECTRAL); a trace-time
         # static captured when a step using this solver is compiled
-        self.fast_spectral = (
-            DEFAULT_FAST_SPECTRAL if fast_spectral is None
-            else bool(fast_spectral)
-        )
+        self.fast_spectral = resolve_fast_spectral(fast_spectral)
 
         dy = _even_reflected_axis_dist(
             2 * grid_size_y, self.dx, self.y_range, np.float64
@@ -599,10 +618,7 @@ class UnboundedPoissonSolver3D:
         self.grid_size_y = grid_size_y
         self.grid_size_x = grid_size_x
         # per-solver fast mode (see DEFAULT_FAST_SPECTRAL)
-        self.fast_spectral = (
-            DEFAULT_FAST_SPECTRAL if fast_spectral is None
-            else bool(fast_spectral)
-        )
+        self.fast_spectral = resolve_fast_spectral(fast_spectral)
         self.x_range = x_range
         self.y_range = x_range * (grid_size_y / grid_size_x)
         self.z_range = x_range * (grid_size_z / grid_size_x)

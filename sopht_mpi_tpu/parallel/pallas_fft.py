@@ -90,12 +90,14 @@ def _mm3(a, x):
 def _mm_conv(a, x, fast):
     """Matmul used by the fused conv(+curl) kernels. ``fast`` (a
     trace-time static threaded from the owning solver's ``fast_spectral``
-    config) selects the opt-in 3-pass bf16 hi/lo matmuls for these kernels
+    config) selects the 3-pass bf16 hi/lo matmuls for these kernels
     ONLY - the one compute-bound pass of the solve. Measured at 256^3:
     conv pass 21.4 -> 18.0 ms, full-solve relative error 6.6e-6 vs the
     6-pass HIGHEST emulation's ~1e-7 (the reference's FFTW float32 is
-    ~1e-7, so solvers default to ``fast_spectral=False`` for accuracy
-    parity). The bandwidth-bound x/y passes keep HIGHEST always - 3-pass
+    ~1e-7; round 4 made 3-pass the TPU default after observable-level
+    physics validation - see poisson.DEFAULT_FAST_SPECTRAL; pass
+    ``fast_spectral=False`` for the HIGHEST tier).
+    The bandwidth-bound x/y passes keep HIGHEST always - 3-pass
     would cost accuracy there for no wall-time return (1-pass bf16
     measured only 1.5x on this pass: mixed MXU/BW/issue-bound)."""
     return _mm3(a, x) if fast else _mm(a, x)
