@@ -597,7 +597,8 @@ class UnboundedPoissonSolver2D:
                 fhat * self._dense_greens(greens), (ny, nx)
             )
         return distributed_free_space_convolve(
-            rhs_field, self._dense_greens(greens), self.mesh
+            rhs_field, self._dense_greens(greens), self.mesh,
+            fast=self.fast_spectral,
         )
 
 
@@ -687,7 +688,8 @@ class UnboundedPoissonSolver3D:
                 fhat * self._dense_greens(greens), (nz, ny, nx)
             )
         return distributed_free_space_convolve(
-            rhs_field, self._dense_greens(greens), self.mesh
+            rhs_field, self._dense_greens(greens), self.mesh,
+            fast=self.fast_spectral,
         )
 
     def vector_field_solve(self, rhs_vector_field, greens=None):

@@ -224,9 +224,12 @@ def _inv_y_local(f, ny: int, use_pallas: bool):
     return jax.lax.complex(rr, ii)
 
 
-def _conv_z_local(f, greens, nz: int, use_pallas: bool):
+def _conv_z_local(f, greens, nz: int, use_pallas: bool, fast: bool = False):
     """Per-shard fused padded-forward * greens -> truncated-inverse along
-    axis 0, via the (1, L, rest) view; einsum passes off-TPU."""
+    axis 0, via the (1, L, rest) view; einsum passes off-TPU. ``fast``
+    selects the 3-pass bf16 conv matmuls (the owning solver's
+    ``fast_spectral``, threaded through the distributed convolve so pods
+    get the same conv tier as the single-chip path)."""
     if not use_pallas:
         from sopht_mpi_tpu.parallel.mxu_fft import fft_padded, ifft_truncated
 
@@ -236,13 +239,13 @@ def _conv_z_local(f, greens, nz: int, use_pallas: bool):
     shp = f.shape
     fr, fi = _split_reim(f.reshape(1, shp[0], -1))
     g = greens.astype(jnp.float32).reshape(1, greens.shape[0], -1)
-    rr, ii = fft_greens_ifft_pass(fr, fi, g)
+    rr, ii = fft_greens_ifft_pass(fr, fi, g, fast)
     return jax.lax.complex(rr, ii).reshape(nz, *shp[1:])
 
 
 def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
                      nx: int, fxp: int, pallas_y: bool = False,
-                     pallas_z: bool = False):
+                     pallas_z: bool = False, fast: bool = False):
     f = jnp.fft.rfft(field, n=2 * nx, axis=2)  # (nz/pz, ny/py, nx+1)
     f = jnp.pad(f, ((0, 0), (0, 0), (0, fxp - f.shape[2])))
     if py > 1:
@@ -252,7 +255,7 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
         f = lax.all_to_all(f, "z", split_axis=1, concat_axis=0, tiled=True)
     # fused z-forward * greens -> z-inverse on the shard: the doubled
     # z-spectrum never hits shard HBM
-    f = _conv_z_local(f, greens, nz, pallas_z)  # (nz, 2ny/pz, fxp/py)
+    f = _conv_z_local(f, greens, nz, pallas_z, fast)  # (nz, 2ny/pz, fxp/py)
     if pz > 1:
         f = lax.all_to_all(f, "z", split_axis=0, concat_axis=1, tiled=True)
     f = _inv_y_local(f, ny, pallas_y)  # (nz/pz, ny, fxp/py)
@@ -264,7 +267,8 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
 
 
 def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
-                                    force_pallas: bool | None = None):
+                                    force_pallas: bool | None = None,
+                                    fast: bool = False):
     """Spectral free-space convolution of a sharded N-domain ``rhs`` with a
     real doubled-domain Fourier multiplier ``greens`` (layout
     ``fourier_partition_spec``, i.e. the output of ``distributed_rfftn`` on
@@ -299,7 +303,7 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
         fn = functools.partial(
             _convolve3_local, pz=pz, py=py,
             nz=nz, ny=ny, nx=nx, fxp=fxp,
-            pallas_y=pallas_y, pallas_z=pallas_z,
+            pallas_y=pallas_y, pallas_z=pallas_z, fast=fast,
         )
     return shard_map(
         fn,

@@ -131,3 +131,14 @@ def test_distributed_convolve_pallas_shard_path_matches_einsum():
             np.asarray(out), np.asarray(ref),
             atol=5e-5 * float(jnp.abs(ref).max()),
         )
+        # the solver's fast_spectral tier threads through to the per-shard
+        # conv pass (round 4: pods get the same conv matmul tier as the
+        # single-chip path); 3-pass bf16 hi/lo stays ~1e-5-class here
+        fast = distributed_free_space_convolve(
+            r, g, mesh, force_pallas=True, fast=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref),
+            atol=5e-4 * float(jnp.abs(ref).max()),
+        )
+        assert float(jnp.abs(fast - out).max()) > 0.0  # distinct tiers ran
