@@ -46,8 +46,23 @@ class CarryCheckpointer:
         ``wait=True`` (or call :meth:`wait_until_finished` before the
         scan); async saving is only safe when the saved buffers stay
         alive until the save completes."""
+        # orbax refuses zero-size arrays; carries may hold content-free
+        # placeholders (e.g. the dropped eul_grid_forcing_field of a
+        # sparse-forcing carry, init_rigid_fsi_carry(step=...)). Swap them
+        # for 1-element placeholders on save; restore() swaps them back
+        # from the template (zero-size = nothing to restore).
+        import jax.numpy as jnp
+
+        def save_safe(a):
+            if getattr(a, "size", 1) == 0:
+                return jnp.zeros((1,), a.dtype)
+            return a
+
         self._mgr.save(
-            int(step), args=self._ocp.args.StandardSave(carry)
+            int(step),
+            args=self._ocp.args.StandardSave(
+                jax.tree_util.tree_map(save_safe, carry)
+            ),
         )
         if wait:
             self._mgr.wait_until_finished()
@@ -79,11 +94,20 @@ class CarryCheckpointer:
             sh = getattr(a, "sharding", None)
             if mesh is not None and not isinstance(sh, NamedSharding):
                 sh = NamedSharding(mesh, PartitionSpec())
-            return jax.ShapeDtypeStruct(np.shape(a), a.dtype, sharding=sh)
+            shape = np.shape(a)
+            if int(np.prod(shape)) == 0:
+                # zero-size leaves were saved as 1-element placeholders
+                # (see save()); restore that shape, swap back below
+                shape = (1,)
+            return jax.ShapeDtypeStruct(shape, a.dtype, sharding=sh)
 
         abstract = jax.tree_util.tree_map(absify, template)
-        return self._mgr.restore(
+        restored = self._mgr.restore(
             int(step), args=self._ocp.args.StandardRestore(abstract)
+        )
+        return jax.tree_util.tree_map(
+            lambda t, r: t if getattr(t, "size", 1) == 0 else r,
+            template, restored,
         )
 
     def wait_until_finished(self) -> None:

@@ -49,7 +49,9 @@ def _small_fsi_case():
         flow_sim, interactor, dt_prefac=0.5,
         free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
     )
-    return step, init_rigid_fsi_carry(flow_sim, interactor)
+    # pass the step: since round 4 the sparse-window IBM engages under a
+    # mesh too, and its mm weight matrices ride the carry
+    return step, init_rigid_fsi_carry(flow_sim, interactor, step)
 
 
 def test_sharded_carry_checkpoint_resume(tmp_path):
