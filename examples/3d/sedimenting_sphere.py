@@ -147,9 +147,18 @@ if __name__ == "__main__":
         "--fast", action="store_true",
         help="fast spectral mode (sopht_mpi_tpu.enable_fast_spectral)",
     )
+    parser.add_argument(
+        "--no-fast", dest="no_fast", action="store_true",
+        help="force the 6-pass HIGHEST spectral tier (~1e-7 solve error, "
+        "~11%% slower at 256^3); default = auto (fast tier on TPU)",
+    )
     args = parser.parse_args()
 
-    if args.fast:
+    if args.no_fast:
+        import sopht_mpi_tpu
+
+        sopht_mpi_tpu.enable_fast_spectral(False)
+    elif args.fast:
         import sopht_mpi_tpu
 
         sopht_mpi_tpu.enable_fast_spectral()
