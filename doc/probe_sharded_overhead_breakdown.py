@@ -35,8 +35,8 @@ def main():
     us = shard_vector_field(u, mesh)
     a = jnp.float32(0.3)
 
-    def t(label, fn, *args):
-        ms = measure_op_time(fn, *args) * 1e3
+    def t(label, fn, arg):
+        ms = measure_op_time(fn, arg) * 1e3
         print(f"{label:<44s} {ms:7.2f} ms", flush=True)
         return ms
 
@@ -51,9 +51,12 @@ def main():
     t("curl+l1 sharded",
       lambda f: pss.curl_3d_sharded(f, a, mesh, compute_l1_max=True)[0], ws)
     t("rotational unsharded",
-      lambda f, g: ps.rotational_curl_add_3d_pallas(f, g, a), w, u)
+      lambda fg: (ps.rotational_curl_add_3d_pallas(fg[0], fg[1], a), fg[1]),
+      (w, u))
     t("rotational sharded",
-      lambda f, g: pss.rotational_curl_add_3d_sharded(f, g, a, mesh), ws, us)
+      lambda fg: (pss.rotational_curl_add_3d_sharded(fg[0], fg[1], a, mesh),
+                  fg[1]),
+      (ws, us))
 
 
 if __name__ == "__main__":

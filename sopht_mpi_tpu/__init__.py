@@ -26,7 +26,7 @@ from sopht_mpi_tpu import ops, parallel, utils, models
 __version__ = "0.1.0"
 
 
-def enable_fast_spectral(enable: bool = True) -> None:
+def enable_fast_spectral(enable: bool | None = True) -> None:
     """Set the construction-time DEFAULT for the Poisson solvers'
     ``fast_spectral`` mode (3-pass bf16 hi/lo matmuls in the fused conv
     kernels - solve rel err ~6.6e-6 vs the 6-pass HIGHEST emulation's
@@ -38,7 +38,9 @@ def enable_fast_spectral(enable: bool = True) -> None:
     observable level in both modes - see ops/poisson.py
     DEFAULT_FAST_SPECTRAL). Call ``enable_fast_spectral(False)`` - or
     pass ``fast_spectral=False`` per solver/simulator - for the 6-pass
-    HIGHEST tier (~1e-7 solve error, ~11% slower at 256^3).
+    HIGHEST tier (~1e-7 solve error, ~11% slower at 256^3), and
+    ``enable_fast_spectral(None)`` to restore the backend-auto default
+    after an explicit override.
 
     The mode is per-solver state (``UnboundedPoissonSolver2D/3D(...,
     fast_spectral=...)``, or ``UnboundedFlowSimulator2D/3D(...,
@@ -53,4 +55,7 @@ def enable_fast_spectral(enable: bool = True) -> None:
     float32 FFTW."""
     from sopht_mpi_tpu.ops import poisson as _poisson
 
-    _poisson.DEFAULT_FAST_SPECTRAL = bool(enable)
+    # None restores the unset auto default (fast on the TPU backend)
+    _poisson.DEFAULT_FAST_SPECTRAL = (
+        None if enable is None else bool(enable)
+    )

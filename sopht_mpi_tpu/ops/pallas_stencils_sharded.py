@@ -699,23 +699,34 @@ def _diffpen_bwd(width, mesh, yt, interpret, res, ct):
 _diffpen_vjp.defvjp(_diffpen_fwd, _diffpen_bwd)
 
 
+def _diffpen_sharded_plan(global_shape, mesh, width: int, itemsize: int):
+    """The y-tile count when the fused sharded diffusion+penalise kernel
+    handles this (shape, mesh, sponge width), else None - the SINGLE
+    predicate behind both :func:`diffusion_penalise_sharded_supported`
+    and the op's own fallback decision."""
+    if width <= 0:
+        return None
+    _, nz, ny, nx = global_shape
+    if nz <= 2 * width or ny <= 2 * width or nx <= 2 * width:
+        return None
+    yt = sharded_stencil_ytiles(global_shape, mesh, 2 * width + 1, itemsize)
+    if yt is None:
+        return None
+    pz, py = mesh.shape["z"], mesh.shape["y"]
+    nzl, rows = nz // pz, (ny // py) // yt
+    # clamp sources strictly in-shard / in-tile (see module comment)
+    if nzl < 2 * width or rows < 2 * width:
+        return None
+    return yt
+
+
 def diffusion_penalise_sharded_supported(global_shape, mesh, width: int,
                                          itemsize: int = 4):
     """True when the fused sharded diffusion+penalise kernel handles this
     (shape, mesh, sponge width); callers fall back to the separate
     diffusion kernel + jnp penalise otherwise."""
-    if width <= 0:
-        return False
-    _, nz, ny, nx = global_shape
-    if nz <= 2 * width or ny <= 2 * width or nx <= 2 * width:
-        return False
-    yt = sharded_stencil_ytiles(global_shape, mesh, 2 * width + 1, itemsize)
-    if yt is None:
-        return False
-    pz, py = mesh.shape["z"], mesh.shape["y"]
-    nzl, rows = nz // pz, (ny // py) // yt
-    # clamp sources strictly in-shard / in-tile (see module comment)
-    return nzl >= 2 * width and rows >= 2 * width
+    return _diffpen_sharded_plan(global_shape, mesh, width, itemsize) \
+        is not None
 
 
 def diffusion_penalise_vector_3d_sharded(vector_field, nu_dt_by_dx2,
@@ -723,12 +734,10 @@ def diffusion_penalise_vector_3d_sharded(vector_field, nu_dt_by_dx2,
                                          interpret=None):
     """Sharded-Pallas fused ``penalise(diffusion(f))`` (exact parity with
     the sequential jnp ops; VJP via the jnp formulation)."""
-    if not diffusion_penalise_sharded_supported(
+    yt = _diffpen_sharded_plan(
         vector_field.shape, mesh, width, vector_field.dtype.itemsize
-    ):
-        return _diffpen_ref_g(vector_field, nu_dt_by_dx2, width)
-    yt = sharded_stencil_ytiles(
-        vector_field.shape, mesh, 2 * width + 1, vector_field.dtype.itemsize
     )
+    if yt is None:
+        return _diffpen_ref_g(vector_field, nu_dt_by_dx2, width)
     return _diffpen_vjp(vector_field, nu_dt_by_dx2, int(width), mesh, yt,
                         _interp(interpret))

@@ -706,10 +706,12 @@ class UnboundedPoissonSolver3D:
                     greens = split_pallas_greens(greens)
                 fast = self.fast_spectral
                 if nz * ny * nx >= _COMPONENT_MAP_THRESHOLD:
-                    # 512^3-class: the 3-component z-pass spectra (~19 GB)
-                    # exceed HBM; batch the edge passes, sequence the z
-                    # conv per component (round 4; was a fully sequential
-                    # lax.map at 112.2 ms/component vs 99.5 ideal-scaled)
+                    # 512^3-class: the 3-component spectra (~19 GB) exceed
+                    # HBM; run the full pipeline per component, UNROLLED
+                    # into straight-line HLO (round 4; the former lax.map
+                    # barrier cost ~10 ms/step of lost cross-component
+                    # overlap - see _pallas_convolve_local_seqz, which
+                    # also documents why edge-pass batching OOMs)
                     return _pallas_convolve_local_seqz(
                         rhs_vector_field, greens, doubled, fast
                     )

@@ -279,7 +279,10 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
     kernels (the z greens pass as one fused kernel) when the shard shapes
     admit valid tiles; elsewhere the MXU einsum four-step serves.
     ``force_pallas`` overrides the auto policy (used by the interpret-mode
-    composition test)."""
+    composition test). ``fast`` selects the 3-pass bf16 conv matmul tier
+    in the 3D per-shard z conv pass ONLY - the 2D distributed path has no
+    fused conv kernel (MXU einsum four-step), so the flag is a
+    documented no-op there."""
     grid_dim = rhs.ndim
     fxp = padded_rfft_size(2 * rhs.shape[-1], mesh, grid_dim)
     if grid_dim == 2:

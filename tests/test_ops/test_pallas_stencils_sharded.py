@@ -122,9 +122,14 @@ def test_sharded_diffusion_penalise_matches_single_device(
     mesh = create_mesh(3, mesh_shape)
     a = jnp.float64(0.37)
     # the kernel engages whenever the shards are thick enough for the
-    # in-shard clamp; parity must hold either way (fallback = jnp ops)
+    # in-shard clamp (z AND y, after y-tiling); parity must hold either
+    # way (fallback = jnp ops)
     nzl = SHAPE[1] // mesh_shape[0]
-    expect_kernel = nzl >= 2 * width
+    yt = pss.sharded_stencil_ytiles(SHAPE, mesh, 2 * width + 1, 8)
+    rows = (SHAPE[2] // mesh_shape[1]) // yt if yt else 0
+    expect_kernel = (
+        yt is not None and nzl >= 2 * width and rows >= 2 * width
+    )
     assert (
         pss.diffusion_penalise_sharded_supported(SHAPE, mesh, width, 8)
         == expect_kernel
