@@ -52,15 +52,23 @@ def _cpad(n: int, mult: int) -> int:
 
 
 def padded_rfft_size(nx: int, mesh: Mesh | None, grid_dim: int) -> int:
-    """Global size of the (padded) x-frequency axis for a given mesh."""
+    """Global size of the (padded) x-frequency axis for a given mesh.
+
+    3D pads to a multiple of ``py * DEFAULT_OVERLAP_CHUNKS`` (not just
+    ``py``): the x-freq axis is the bystander axis of the z-transpose
+    pipeline segment, and ``nx//2 + 1`` is odd for the power-of-two
+    production grids - without the extra factor a slab mesh (py = 1)
+    could never chunk its all_to_all/conv segment for comm/compute
+    overlap. Padded columns are exactly zero through every linear stage
+    (<= ~2% extra width at production sizes)."""
     nxf = nx // 2 + 1
-    if mesh is None:
+    if mesh is None or mesh.size == 1:
         return nxf
     py = mesh.shape["y"]
     if grid_dim == 2:
         # pencil 2D splits the x-freq axis over BOTH mesh axes
         return _cpad(nxf, py * mesh.shape["x"])
-    return _cpad(nxf, py)
+    return _cpad(nxf, py * DEFAULT_OVERLAP_CHUNKS)
 
 
 def fourier_partition_spec(grid_dim: int, mesh: Mesh | None = None) -> P:
@@ -243,32 +251,107 @@ def _conv_z_local(f, greens, nz: int, use_pallas: bool, fast: bool = False):
     return jax.lax.complex(rr, ii).reshape(nz, *shp[1:])
 
 
+def _pipeline_chunks(axis_size: int, requested: int) -> int:
+    """Largest divisor of ``axis_size`` that is <= ``requested`` (>= 1)."""
+    g = max(1, min(requested, axis_size))
+    while axis_size % g:
+        g -= 1
+    return g
+
+
+def _chunked(f, axis: int, g: int, stage):
+    """Software-pipeline ``stage`` (a comm -> local-pass chain) over ``g``
+    equal chunks of ``f`` along a bystander ``axis``: the chunks are
+    independent dataflow chains, so XLA's latency-hiding scheduler can
+    overlap chunk i's collective with chunk j's local compute - the manual
+    analogue of overlapping the reference's MPI transposes with FFTW work
+    (its blocking Alltoallv cannot; see SCALING.md "overlap is the first
+    real-pod lever"). No-op at g = 1."""
+    if g <= 1:
+        return stage(f)
+    parts = jnp.split(f, g, axis=axis)
+    return jnp.concatenate([stage(p) for p in parts], axis=axis)
+
+
 def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
                      nx: int, fxp: int, pallas_y: bool = False,
-                     pallas_z: bool = False, fast: bool = False):
-    f = jnp.fft.rfft(field, n=2 * nx, axis=2)  # (nz/pz, ny/py, nx+1)
-    f = jnp.pad(f, ((0, 0), (0, 0), (0, fxp - f.shape[2])))
-    if py > 1:
-        f = lax.all_to_all(f, "y", split_axis=2, concat_axis=1, tiled=True)
-    f = _fwd_y_local(f, 2 * ny, pallas_y)  # (nz/pz, 2ny, fxp/py)
-    if pz > 1:
-        f = lax.all_to_all(f, "z", split_axis=1, concat_axis=0, tiled=True)
-    # fused z-forward * greens -> z-inverse on the shard: the doubled
-    # z-spectrum never hits shard HBM
-    f = _conv_z_local(f, greens, nz, pallas_z, fast)  # (nz, 2ny/pz, fxp/py)
-    if pz > 1:
-        f = lax.all_to_all(f, "z", split_axis=0, concat_axis=1, tiled=True)
-    f = _inv_y_local(f, ny, pallas_y)  # (nz/pz, ny, fxp/py)
-    if py > 1:
-        f = lax.all_to_all(f, "y", split_axis=1, concat_axis=2, tiled=True)
-    f = f[:, :, : nx + 1]
-    out = jnp.fft.irfft(f, n=2 * nx, axis=2)
-    return jax.lax.slice_in_dim(out, 0, nx, axis=2)
+                     pallas_z: bool = False, fast: bool = False,
+                     chunks: int = 1):
+    # Three pipelined segments, each chunked along an axis the segment's
+    # all_to_all does not touch so every chunk is a valid independent
+    # transpose + local pass. Segments are separated by real dataflow
+    # barriers (the chunk axis changes), so overlap is intra-segment.
+    nzl = field.shape[0]  # nz / pz
+
+    def fwd_stage(c):
+        c = jnp.fft.rfft(c, n=2 * nx, axis=2)  # (.., ny/py, nx+1)
+        c = jnp.pad(c, ((0, 0), (0, 0), (0, fxp - c.shape[2])))
+        if py > 1:
+            c = lax.all_to_all(c, "y", split_axis=2, concat_axis=1,
+                               tiled=True)
+        return _fwd_y_local(c, 2 * ny, pallas_y)  # (.., 2ny, fxp/py)
+
+    g1 = _pipeline_chunks(nzl, chunks) if py > 1 else 1
+    f = _chunked(field, 0, g1, fwd_stage)
+
+    def conv_stage(pair):
+        c, g_c = pair
+        if pz > 1:
+            c = lax.all_to_all(c, "z", split_axis=1, concat_axis=0,
+                               tiled=True)
+        # fused z-forward * greens -> z-inverse on the shard: the doubled
+        # z-spectrum never hits shard HBM
+        c = _conv_z_local(c, g_c, nz, pallas_z, fast)  # (nz, 2ny/pz, ..)
+        if pz > 1:
+            c = lax.all_to_all(c, "z", split_axis=0, concat_axis=1,
+                               tiled=True)
+        return c
+
+    bxl = f.shape[2]  # fxp / py
+    g2 = 1
+    if pz > 1 and chunks > 1:
+        g2 = _pipeline_chunks(bxl, chunks)
+        # never trade the fused Pallas conv kernel away for overlap
+        while g2 > 1 and pallas_z and not _pallas_mid_passes_ok(
+            2 * nz, (2 * ny // pz) * (bxl // g2), conv=True
+        ):
+            g2 = _pipeline_chunks(bxl, g2 - 1)
+    if g2 > 1:
+        f = jnp.concatenate(
+            [
+                conv_stage((c, g_c))
+                for c, g_c in zip(
+                    jnp.split(f, g2, axis=2), jnp.split(greens, g2, axis=2)
+                )
+            ],
+            axis=2,
+        )
+    else:
+        f = conv_stage((f, greens))
+
+    def inv_stage(c):
+        c = _inv_y_local(c, ny, pallas_y)  # (.., ny, fxp/py)
+        if py > 1:
+            c = lax.all_to_all(c, "y", split_axis=1, concat_axis=2,
+                               tiled=True)
+        c = c[:, :, : nx + 1]
+        out = jnp.fft.irfft(c, n=2 * nx, axis=2)
+        return jax.lax.slice_in_dim(out, 0, nx, axis=2)
+
+    g3 = _pipeline_chunks(nzl, chunks) if py > 1 else 1
+    return _chunked(f, 0, g3, inv_stage)
+
+
+#: default requested chunk count for the comm/compute software pipeline of
+#: the 3D distributed convolve (see ``_chunked``). 4 balances overlap depth
+#: against per-chunk collective launch overhead; 1 disables pipelining.
+DEFAULT_OVERLAP_CHUNKS = 4
 
 
 def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
                                     force_pallas: bool | None = None,
-                                    fast: bool = False):
+                                    fast: bool = False,
+                                    overlap_chunks: int | None = None):
     """Spectral free-space convolution of a sharded N-domain ``rhs`` with a
     real doubled-domain Fourier multiplier ``greens`` (layout
     ``fourier_partition_spec``, i.e. the output of ``distributed_rfftn`` on
@@ -282,7 +365,16 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
     composition test). ``fast`` selects the 3-pass bf16 conv matmul tier
     in the 3D per-shard z conv pass ONLY - the 2D distributed path has no
     fused conv kernel (MXU einsum four-step), so the flag is a
-    documented no-op there."""
+    documented no-op there.
+
+    ``overlap_chunks`` software-pipelines each all_to_all transpose with
+    the adjacent local pass by splitting the 3D pipeline into that many
+    independent chunks along a bystander axis (None = the
+    ``DEFAULT_OVERLAP_CHUNKS`` policy; 1 disables). Chunking is exact (the
+    chunks partition the batch rows of each linear pass) and is a no-op on
+    mesh axes of size 1, so single-chip behavior is untouched. The 2D
+    path is transpose-light (slab grids a few hundred KB per shard) and
+    is not chunked."""
     grid_dim = rhs.ndim
     fxp = padded_rfft_size(2 * rhs.shape[-1], mesh, grid_dim)
     if grid_dim == 2:
@@ -303,10 +395,15 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
         pallas_z = on_tpu and _pallas_mid_passes_ok(
             2 * nz, (2 * ny // pz) * (fxp // py), conv=True
         )
+        chunks = (
+            DEFAULT_OVERLAP_CHUNKS if overlap_chunks is None
+            else max(1, overlap_chunks)
+        )
         fn = functools.partial(
             _convolve3_local, pz=pz, py=py,
             nz=nz, ny=ny, nx=nx, fxp=fxp,
             pallas_y=pallas_y, pallas_z=pallas_z, fast=fast,
+            chunks=chunks,
         )
     return shard_map(
         fn,
