@@ -234,21 +234,39 @@ def _pallas_convolve_local(rhs, greens, doubled: tuple[int, ...],
     return sol if batched else sol[0]
 
 
+#: pair-batch the 512^3-class vector solve: components (0, 1) share one
+#: batched pipeline (bigger kernels, fewer launch boundaries), component 2
+#: runs alone. The c=2 spectra peak ~2/3 of the c=3 pipeline's ~19 GB and
+#: DO fit next to the live flow state (measured green at 512^3 FSI; c=3
+#: edge-batching OOM'd at 17.05 GB). MEASURED NEUTRAL on v5e: 383.8 vs
+#: 385.0 Mcells/s at 512^3 (noise band) - the straight-line unroll
+#: already gives XLA the cross-component overlap, so the default stays
+#: the lighter-memory sequential form.
+PAIR_BATCH_SEQZ = False
+
+
 def _pallas_convolve_local_seqz(rhs, greens, doubled: tuple[int, ...],
                                 fast=False):
     """512^3-class vector convolve (3D only, leading component axis):
-    each component runs the full pipeline, but UNROLLED into straight-line
-    HLO instead of the former ``lax.map`` - the map's per-iteration
-    barrier prevented XLA from overlapping component k+1's DMA-bound edge
-    passes with component k's compute-bound conv tail (measured 112.2
-    ms/component at 512^3 vs 99.5 ideal-scaled from the batched 256^3
-    pipeline). Peak HBM stays at the sequential path's ~7 GB per
-    component - a fully batched pipeline needs ~19 GB (> HBM), and even
-    batching only the forward edge passes peaks 17.05 GB (measured OOM
-    by 1.3 GB next to the live flow state)."""
+    components run the full pipeline in straight-line HLO instead of the
+    former ``lax.map`` - the map's per-iteration barrier prevented XLA
+    from overlapping component k+1's DMA-bound edge passes with component
+    k's compute-bound conv tail (measured 112.2 ms/component at 512^3 vs
+    99.5 ideal-scaled from the batched 256^3 pipeline). A fully batched
+    c=3 pipeline needs ~19 GB of spectra (> HBM) and even batching only
+    its forward edge passes peaks 17.05 GB (measured OOM by 1.3 GB next
+    to the live flow state); ``PAIR_BATCH_SEQZ`` batches components in
+    pairs instead (~2/3 the peak), falling back to fully sequential when
+    disabled."""
+    c = rhs.shape[0]
+    if PAIR_BATCH_SEQZ and c > 1:
+        return jnp.concatenate([
+            _pallas_convolve_local(rhs[k:k + 2], greens, doubled, fast)
+            for k in range(0, c, 2)
+        ])
     return jnp.stack([
         _pallas_convolve_local(rhs[k], greens, doubled, fast)
-        for k in range(rhs.shape[0])
+        for k in range(c)
     ])
 
 
