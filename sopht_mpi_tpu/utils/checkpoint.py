@@ -97,8 +97,14 @@ class CarryCheckpointer:
             shape = np.shape(a)
             if int(np.prod(shape)) == 0:
                 # zero-size leaves were saved as 1-element placeholders
-                # (see save()); restore that shape, swap back below
+                # (see save()); restore that shape, swap back below. The
+                # leaf's own spec can outrank the rank-1 placeholder
+                # (e.g. a dropped (3,0,0,0) forcing buffer pinned to the
+                # field spec by carry canonicalization) - restore it
+                # replicated; the template leaf wins after restore anyway.
                 shape = (1,)
+                if isinstance(sh, NamedSharding):
+                    sh = NamedSharding(sh.mesh, PartitionSpec())
             return jax.ShapeDtypeStruct(shape, a.dtype, sharding=sh)
 
         abstract = jax.tree_util.tree_map(absify, template)

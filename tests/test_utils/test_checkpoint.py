@@ -97,3 +97,35 @@ def test_unsharded_pytree_roundtrip(tmp_path):
     for l1, l2 in zip(jax.tree_util.tree_leaves(tree),
                       jax.tree_util.tree_leaves(out)):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_zero_size_leaf_with_field_spec_restores(tmp_path):
+    """A zero-size placeholder leaf (a sparse-forcing carry drops the
+    full-field buffer to (3, 0, 0, 0)) can carry a FIELD-rank
+    NamedSharding spec (carry canonicalization pins leaf shardings).
+    restore() swaps the placeholder to rank-1 - the spec must be reset to
+    replicated or ShapeDtypeStruct raises a rank error (regression:
+    dryrun checkpoint case on a (1, 1) mesh, round 4)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    mesh = create_mesh(3, (4, 2))
+    field_spec = NamedSharding(mesh, P(None, "z", "y", None))
+    tree = {
+        "field": jax.device_put(
+            jnp.ones((3, 8, 8, 8), jnp.float32), field_spec
+        ),
+        "dropped": jax.device_put(
+            jnp.zeros((3, 0, 0, 0), jnp.float32), field_spec
+        ),
+    }
+    ckpt = CarryCheckpointer(str(tmp_path / "z"))
+    ckpt.save(0, tree, wait=True)
+    out = ckpt.restore(template=tree)
+    ckpt.close()
+    assert out["dropped"].shape == (3, 0, 0, 0)
+    np.testing.assert_array_equal(
+        np.asarray(out["field"]), np.asarray(tree["field"])
+    )
+    assert out["field"].sharding == field_spec
