@@ -54,13 +54,15 @@ def _cpad(n: int, mult: int) -> int:
 def padded_rfft_size(nx: int, mesh: Mesh | None, grid_dim: int) -> int:
     """Global size of the (padded) x-frequency axis for a given mesh.
 
-    3D pads to a multiple of ``py * DEFAULT_OVERLAP_CHUNKS`` (not just
-    ``py``): the x-freq axis is the bystander axis of the z-transpose
-    pipeline segment, and ``nx//2 + 1`` is odd for the power-of-two
-    production grids - without the extra factor a slab mesh (py = 1)
-    could never chunk its all_to_all/conv segment for comm/compute
-    overlap. Padded columns are exactly zero through every linear stage
-    (<= ~2% extra width at production sizes)."""
+    When the z mesh axis is nontrivial, 3D pads to a multiple of
+    ``py * DEFAULT_OVERLAP_CHUNKS`` (not just ``py``): the x-freq axis is
+    the bystander axis of the z-transpose pipeline segment, and
+    ``nx//2 + 1`` is odd for the power-of-two production grids - without
+    the extra factor a slab mesh (py = 1) could never chunk its
+    all_to_all/conv segment for comm/compute overlap. At pz = 1 that
+    segment has no collective to overlap, so the extra width is skipped.
+    Padded columns are exactly zero through every linear stage (<= ~2%
+    extra width at production sizes)."""
     nxf = nx // 2 + 1
     if mesh is None or mesh.size == 1:
         return nxf
@@ -68,7 +70,8 @@ def padded_rfft_size(nx: int, mesh: Mesh | None, grid_dim: int) -> int:
     if grid_dim == 2:
         # pencil 2D splits the x-freq axis over BOTH mesh axes
         return _cpad(nxf, py * mesh.shape["x"])
-    return _cpad(nxf, py * DEFAULT_OVERLAP_CHUNKS)
+    chunkable = DEFAULT_OVERLAP_CHUNKS if mesh.shape["z"] > 1 else 1
+    return _cpad(nxf, py * chunkable)
 
 
 def fourier_partition_spec(grid_dim: int, mesh: Mesh | None = None) -> P:
@@ -259,18 +262,22 @@ def _pipeline_chunks(axis_size: int, requested: int) -> int:
     return g
 
 
-def _chunked(f, axis: int, g: int, stage):
+def _chunked(f, axis: int, g: int, stage, aux=()):
     """Software-pipeline ``stage`` (a comm -> local-pass chain) over ``g``
     equal chunks of ``f`` along a bystander ``axis``: the chunks are
     independent dataflow chains, so XLA's latency-hiding scheduler can
     overlap chunk i's collective with chunk j's local compute - the manual
     analogue of overlapping the reference's MPI transposes with FFTW work
     (its blocking Alltoallv cannot; see SCALING.md "overlap is the first
-    real-pod lever"). No-op at g = 1."""
+    real-pod lever"). ``aux`` operands are split along the same axis and
+    passed as extra ``stage`` arguments. No-op at g = 1."""
     if g <= 1:
-        return stage(f)
-    parts = jnp.split(f, g, axis=axis)
-    return jnp.concatenate([stage(p) for p in parts], axis=axis)
+        return stage(f, *aux)
+    parts = zip(
+        jnp.split(f, g, axis=axis),
+        *(jnp.split(a, g, axis=axis) for a in aux),
+    )
+    return jnp.concatenate([stage(*p) for p in parts], axis=axis)
 
 
 def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
@@ -294,8 +301,7 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
     g1 = _pipeline_chunks(nzl, chunks) if py > 1 else 1
     f = _chunked(field, 0, g1, fwd_stage)
 
-    def conv_stage(pair):
-        c, g_c = pair
+    def conv_stage(c, g_c):
         if pz > 1:
             c = lax.all_to_all(c, "z", split_axis=1, concat_axis=0,
                                tiled=True)
@@ -316,18 +322,7 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
             2 * nz, (2 * ny // pz) * (bxl // g2), conv=True
         ):
             g2 = _pipeline_chunks(bxl, g2 - 1)
-    if g2 > 1:
-        f = jnp.concatenate(
-            [
-                conv_stage((c, g_c))
-                for c, g_c in zip(
-                    jnp.split(f, g2, axis=2), jnp.split(greens, g2, axis=2)
-                )
-            ],
-            axis=2,
-        )
-    else:
-        f = conv_stage((f, greens))
+    f = _chunked(f, 2, g2, conv_stage, aux=(greens,))
 
     def inv_stage(c):
         c = _inv_y_local(c, ny, pallas_y)  # (.., ny, fxp/py)
@@ -368,13 +363,19 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
     documented no-op there.
 
     ``overlap_chunks`` software-pipelines each all_to_all transpose with
-    the adjacent local pass by splitting the 3D pipeline into that many
-    independent chunks along a bystander axis (None = the
-    ``DEFAULT_OVERLAP_CHUNKS`` policy; 1 disables). Chunking is exact (the
-    chunks partition the batch rows of each linear pass) and is a no-op on
-    mesh axes of size 1, so single-chip behavior is untouched. The 2D
-    path is transpose-light (slab grids a few hundred KB per shard) and
-    is not chunked."""
+    the adjacent local pass by splitting the 3D pipeline into independent
+    chunks along a bystander axis (None = the ``DEFAULT_OVERLAP_CHUNKS``
+    policy; 1 disables). It is a REQUEST: each segment realizes the
+    largest divisor of its bystander-axis extent <= the request (the
+    x-freq axis is only padded to guarantee divisibility by
+    ``DEFAULT_OVERLAP_CHUNKS`` when pz > 1, and the conv segment also
+    refuses any chunking that would lose the fused Pallas kernel's tile
+    budget) - benchmark protocols comparing chunk depths should check the
+    lowered all-to-all count, not assume the request. Chunking is exact
+    (the chunks partition the batch rows of each linear pass) and is a
+    no-op on mesh axes of size 1, so single-chip behavior is untouched.
+    The 2D path is transpose-light (slab grids a few hundred KB per
+    shard) and is not chunked."""
     grid_dim = rhs.ndim
     fxp = padded_rfft_size(2 * rhs.shape[-1], mesh, grid_dim)
     if grid_dim == 2:

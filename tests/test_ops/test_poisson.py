@@ -157,7 +157,7 @@ def test_vector_solve_component_map_matches_batched(monkeypatch):
     monkeypatch.setattr(pois, "_COMPONENT_MAP_THRESHOLD", 1)
     mapped = np.asarray(solver.vector_field_solve(rhs, greens))
     np.testing.assert_allclose(mapped, batched, atol=1e-6)
-    # both seqz variants: pair-batched (default) and fully sequential
+    # both seqz variants: fully sequential (default) and pair-batched
     monkeypatch.setattr(pois, "PAIR_BATCH_SEQZ", not pois.PAIR_BATCH_SEQZ)
     flipped = np.asarray(solver.vector_field_solve(rhs, greens))
     np.testing.assert_allclose(flipped, batched, atol=1e-6)
