@@ -43,6 +43,12 @@ def main():
     parser.add_argument("--grid-size-x", type=int, default=256)
     parser.add_argument("--nondim-time", type=float, default=5.0)
     parser.add_argument("--window", type=int, default=100)
+    parser.add_argument(
+        "--overlap-chunks", type=int, default=None,
+        help="comm/compute pipelining request of the sharded Poisson "
+        "transposes (default: fft.DEFAULT_OVERLAP_CHUNKS; pass 1 for the "
+        "unpipelined control arm of the SCALING.md overlap protocol)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -72,6 +78,7 @@ def main():
         grid_size=grid_size,
         window=args.window,
         mesh=mesh,
+        overlap_chunks=args.overlap_chunks,
     )
     if times:
         logger.info(f"done: t*={times[-1]:.2f} Cd={cds[-1]:.4f}")

@@ -169,6 +169,7 @@ def flow_past_sphere_fused_case(
     window=100,
     save_interval=None,
     mesh=None,
+    overlap_chunks=None,
 ):
     """Same physics, whole coupled loop as one on-device ``lax.scan``
     (models/fsi.py). Validated drag: Cd = 1.305 (64^3) / 1.224 (128^3) at
@@ -205,6 +206,10 @@ def flow_past_sphere_fused_case(
         flow_type="navier_stokes_with_forcing",
         with_free_stream_flow=True,
         mesh=mesh,
+        # comm/compute pipelining of the sharded Poisson transposes
+        # (None = default; 1 = the unpipelined control arm of the
+        # SCALING.md overlap measurement protocol)
+        overlap_chunks=overlap_chunks,
     )
     sphere = Sphere(
         center=np.array(

@@ -110,6 +110,9 @@ class UnboundedFlowSimulator3D:
         # per-solver fast spectral mode (None = poisson.DEFAULT_FAST_SPECTRAL
         # at solver construction; see ops/poisson.py)
         self.fast_spectral = kwargs.get("fast_spectral", None)
+        # comm/compute pipelining request of the sharded Poisson solve
+        # (None = fft.DEFAULT_OVERLAP_CHUNKS; 1 = unpipelined control arm)
+        self.overlap_chunks = kwargs.get("overlap_chunks", None)
         # None = auto (Pallas streaming stencils on real TPU); tests
         # force True to exercise the kernels in interpret mode on CPU.
         # With a mesh the per-shard shard_map kernels serve instead of the
@@ -168,6 +171,7 @@ class UnboundedFlowSimulator3D:
                 real_t=self.real_t,
                 mesh=self.mesh,
                 fast_spectral=self.fast_spectral,
+                overlap_chunks=self.overlap_chunks,
             )
 
     @property

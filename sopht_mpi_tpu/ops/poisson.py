@@ -632,12 +632,18 @@ class UnboundedPoissonSolver3D:
     def __init__(self, grid_size_z, grid_size_y, grid_size_x, x_range=1.0,
                  real_t=jnp.float32, mesh=None,
                  build_greens_on_device: bool | None = None,
-                 fast_spectral: bool | None = None):
+                 fast_spectral: bool | None = None,
+                 overlap_chunks: int | None = None):
         self.grid_size_z = grid_size_z
         self.grid_size_y = grid_size_y
         self.grid_size_x = grid_size_x
         # per-solver fast mode (see DEFAULT_FAST_SPECTRAL)
         self.fast_spectral = resolve_fast_spectral(fast_spectral)
+        # comm/compute pipelining request of the distributed convolve
+        # (None = fft.DEFAULT_OVERLAP_CHUNKS; 1 disables - the control arm
+        # of the SCALING.md overlap measurement protocol). Meshless
+        # solvers never chunk.
+        self.overlap_chunks = overlap_chunks
         self.x_range = x_range
         self.y_range = x_range * (grid_size_y / grid_size_x)
         self.z_range = x_range * (grid_size_z / grid_size_x)
@@ -707,7 +713,7 @@ class UnboundedPoissonSolver3D:
             )
         return distributed_free_space_convolve(
             rhs_field, self._dense_greens(greens), self.mesh,
-            fast=self.fast_spectral,
+            fast=self.fast_spectral, overlap_chunks=self.overlap_chunks,
         )
 
     def vector_field_solve(self, rhs_vector_field, greens=None):

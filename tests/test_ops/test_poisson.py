@@ -161,3 +161,31 @@ def test_vector_solve_component_map_matches_batched(monkeypatch):
     monkeypatch.setattr(pois, "PAIR_BATCH_SEQZ", not pois.PAIR_BATCH_SEQZ)
     flipped = np.asarray(solver.vector_field_solve(rhs, greens))
     np.testing.assert_allclose(flipped, batched, atol=1e-6)
+
+
+def test_solver_overlap_chunks_param_is_exact_and_threads():
+    """The solver/simulator `overlap_chunks` constructor parameter (the
+    control arm of SCALING.md's overlap measurement protocol) reaches the
+    distributed convolve and the unpipelined form is bit-equal to the
+    chunked default."""
+    n = 16
+    rng = np.random.default_rng(9)
+    rhs = rng.standard_normal((n, n, n)).astype(np.float32)
+    mesh = create_mesh(3, (4, 2))
+    s_default = UnboundedPoissonSolver3D(n, n, n, mesh=mesh)
+    s_control = UnboundedPoissonSolver3D(n, n, n, mesh=mesh,
+                                         overlap_chunks=1)
+    assert s_control.overlap_chunks == 1
+    rhs_sharded = shard_scalar_field(jnp.asarray(rhs), mesh)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(s_control.solve)(rhs_sharded)),
+        np.asarray(jax.jit(s_default.solve)(rhs_sharded)),
+    )
+    # and the simulator threads it to its Poisson solver
+    from sopht_mpi_tpu.models import UnboundedFlowSimulator3D
+
+    sim = UnboundedFlowSimulator3D(
+        grid_size=(n, n, n), x_range=1.0, kinematic_viscosity=1e-3,
+        flow_type="navier_stokes", mesh=mesh, overlap_chunks=1,
+    )
+    assert sim.unbounded_poisson_solver.overlap_chunks == 1
