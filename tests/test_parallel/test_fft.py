@@ -202,3 +202,22 @@ def test_distributed_convolve_overlap_chunks_exact_and_pipelined():
     )
     gr = jax.grad(loss)(r, g)
     assert bool(jnp.all(jnp.isfinite(gr)))
+
+
+def test_padded_rfft_size_skips_chunk_padding_on_trivial_z():
+    """The x-freq chunk padding exists solely for the z-transpose segment;
+    at pz = 1 that segment has no collective, so the axis pads only to
+    ``py`` (review finding: py=8 meshes paid +9% all_to_all width for a
+    divisibility nothing consumed)."""
+    from sopht_mpi_tpu.parallel.fft import (
+        DEFAULT_OVERLAP_CHUNKS,
+        padded_rfft_size,
+    )
+    from sopht_mpi_tpu.parallel.mesh import create_mesh
+
+    nxf = 2 * 256 // 2 + 1  # 257: the doubled 256-grid x-freq count
+    assert padded_rfft_size(2 * 256, create_mesh(3, (1, 8)), 3) == 264
+    assert padded_rfft_size(2 * 256, create_mesh(3, (8, 1)), 3) == (
+        ((nxf + 4 - 1) // 4) * 4  # multiple of py*DEFAULT_OVERLAP_CHUNKS
+    )
+    assert DEFAULT_OVERLAP_CHUNKS == 4  # the constant the pad relies on
