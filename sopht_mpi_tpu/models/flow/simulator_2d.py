@@ -107,6 +107,14 @@ class UnboundedFlowSimulator2D:
         # per-solver fast spectral mode (None = poisson.DEFAULT_FAST_SPECTRAL
         # at solver construction; see ops/poisson.py)
         self.fast_spectral = kwargs.get("fast_spectral", None)
+        unknown = set(kwargs) - {"penalty_zone_width", "fast_spectral"}
+        if unknown:
+            # a typo'd option silently running the defaults would poison
+            # benchmark control arms (ADVICE r04, mirrored from 3D)
+            raise TypeError(
+                f"Unknown keyword argument(s) {sorted(unknown)}; "
+                "supported: ['fast_spectral', 'penalty_zone_width']"
+            )
         if mesh is not None:
             check_grid_divisibility(self.grid_size, mesh)
 

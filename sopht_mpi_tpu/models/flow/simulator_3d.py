@@ -121,6 +121,21 @@ class UnboundedFlowSimulator3D:
         self.filter_setting_dict = kwargs.get(
             "filter_setting_dict", {"order": 2, "type": "multiplicative"}
         ) or {"order": 2, "type": "multiplicative"}
+        known_kwargs = {
+            "penalty_zone_width",
+            "fast_spectral",
+            "overlap_chunks",
+            "use_pallas",
+            "filter_setting_dict",
+        }
+        unknown = set(kwargs) - known_kwargs
+        if unknown:
+            # a typo'd option (e.g. overlap_chunk=1) silently running the
+            # defaults would poison benchmark control arms (ADVICE r04)
+            raise TypeError(
+                f"Unknown keyword argument(s) {sorted(unknown)}; "
+                f"supported: {sorted(known_kwargs)}"
+            )
         if mesh is not None:
             check_grid_divisibility(self.grid_size, mesh)
 

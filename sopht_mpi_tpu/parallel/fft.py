@@ -38,6 +38,7 @@ Normalization follows the FFTW/numpy convention the reference relies on
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -280,6 +281,28 @@ def _chunked(f, axis: int, g: int, stage, aux=()):
     return jnp.concatenate([stage(*p) for p in parts], axis=axis)
 
 
+def realized_overlap_chunks(nz: int, ny: int, fxp: int, pz: int, py: int,
+                            pallas_z: bool, chunks: int):
+    """The chunk counts the three ``_convolve3_local`` segments actually
+    realize for a ``chunks`` request (largest divisor of each segment's
+    bystander-axis extent <= the request, with the conv segment refusing
+    any chunking that would lose the fused Pallas kernel's tile budget).
+    Mirrors the logic in ``_convolve3_local`` so callers / benchmark
+    protocols can detect silent degradation (a degraded request lowers the
+    same HLO as a smaller one)."""
+    nzl = nz // pz
+    bxl = fxp // py
+    g1 = _pipeline_chunks(nzl, chunks) if py > 1 else 1
+    g2 = 1
+    if pz > 1 and chunks > 1:
+        g2 = _pipeline_chunks(bxl, chunks)
+        while g2 > 1 and pallas_z and not _pallas_mid_passes_ok(
+            2 * nz, (2 * ny // pz) * (bxl // g2), conv=True
+        ):
+            g2 = _pipeline_chunks(bxl, g2 - 1)
+    return g1, g2, g1
+
+
 def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
                      nx: int, fxp: int, pallas_y: bool = False,
                      pallas_z: bool = False, fast: bool = False,
@@ -298,7 +321,9 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
                                tiled=True)
         return _fwd_y_local(c, 2 * ny, pallas_y)  # (.., 2ny, fxp/py)
 
-    g1 = _pipeline_chunks(nzl, chunks) if py > 1 else 1
+    # realized chunk counts (never trade the fused Pallas conv kernel
+    # away for overlap - see realized_overlap_chunks)
+    g1, g2, g3 = realized_overlap_chunks(nz, ny, fxp, pz, py, pallas_z, chunks)
     f = _chunked(field, 0, g1, fwd_stage)
 
     def conv_stage(c, g_c):
@@ -313,15 +338,6 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
                                tiled=True)
         return c
 
-    bxl = f.shape[2]  # fxp / py
-    g2 = 1
-    if pz > 1 and chunks > 1:
-        g2 = _pipeline_chunks(bxl, chunks)
-        # never trade the fused Pallas conv kernel away for overlap
-        while g2 > 1 and pallas_z and not _pallas_mid_passes_ok(
-            2 * nz, (2 * ny // pz) * (bxl // g2), conv=True
-        ):
-            g2 = _pipeline_chunks(bxl, g2 - 1)
     f = _chunked(f, 2, g2, conv_stage, aux=(greens,))
 
     def inv_stage(c):
@@ -333,7 +349,6 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
         out = jnp.fft.irfft(c, n=2 * nx, axis=2)
         return jax.lax.slice_in_dim(out, 0, nx, axis=2)
 
-    g3 = _pipeline_chunks(nzl, chunks) if py > 1 else 1
     return _chunked(f, 0, g3, inv_stage)
 
 
@@ -396,10 +411,31 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
         pallas_z = on_tpu and _pallas_mid_passes_ok(
             2 * nz, (2 * ny // pz) * (fxp // py), conv=True
         )
+        if overlap_chunks is not None and overlap_chunks < 1:
+            raise ValueError(
+                f"overlap_chunks must be >= 1 (got {overlap_chunks}); "
+                "pass 1 to disable the comm/compute pipeline"
+            )
         chunks = (
             DEFAULT_OVERLAP_CHUNKS if overlap_chunks is None
-            else max(1, overlap_chunks)
+            else overlap_chunks
         )
+        if overlap_chunks is not None and chunks > 1:
+            # an explicit request that silently degrades lowers the same
+            # HLO as a smaller one - warn so A/B protocols don't compare
+            # identical programs (ADVICE r04)
+            realized = realized_overlap_chunks(
+                nz, ny, fxp, pz, py, pallas_z, chunks
+            )
+            if any(g != chunks for g in realized):
+                warnings.warn(
+                    f"overlap_chunks={chunks} realized as "
+                    f"(fwd, conv, inv)={realized} on mesh (pz={pz}, "
+                    f"py={py}) at grid ({nz}, {ny}, {nx}); segments "
+                    "realize the largest divisor of their bystander-axis "
+                    "extent <= the request",
+                    stacklevel=2,
+                )
         fn = functools.partial(
             _convolve3_local, pz=pz, py=py,
             nz=nz, ny=ny, nx=nx, fxp=fxp,

@@ -1,6 +1,8 @@
 """Distributed FFT vs numpy oracle (the role the reference's
 tests/test_numeric/.../test_fft_mpi_2d.py plays against scipy.fft)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -194,14 +196,21 @@ def test_distributed_convolve_overlap_chunks_exact_and_pipelined():
     mesh = create_mesh(3, (4, 2))
     g = jnp.real(distributed_rfftn(shard_scalar_field(kernel, mesh), mesh))
     r = shard_scalar_field(rhs, mesh)
-    loss = jax.jit(
-        lambda rr, gg: jnp.sum(
-            distributed_free_space_convolve(rr, gg, mesh, overlap_chunks=4)
+    def loss(rr, gg, ch):
+        return jnp.sum(
+            distributed_free_space_convolve(rr, gg, mesh, overlap_chunks=ch)
             ** 2
         )
+
+    gr_chunked = jax.jit(jax.grad(functools.partial(loss, ch=4)))(r, g)
+    assert bool(jnp.all(jnp.isfinite(gr_chunked)))
+    # the chunked adjoint must EQUAL the unchunked one (an adjoint-ordering
+    # bug in the chunked all_to_all chains would pass a finiteness-only
+    # check; ADVICE r04) - mirrors the forward bit-exactness above
+    gr_unchunked = jax.jit(jax.grad(functools.partial(loss, ch=1)))(r, g)
+    np.testing.assert_array_equal(
+        np.asarray(gr_chunked), np.asarray(gr_unchunked)
     )
-    gr = jax.grad(loss)(r, g)
-    assert bool(jnp.all(jnp.isfinite(gr)))
 
 
 def test_padded_rfft_size_skips_chunk_padding_on_trivial_z():
@@ -221,3 +230,51 @@ def test_padded_rfft_size_skips_chunk_padding_on_trivial_z():
         ((nxf + 4 - 1) // 4) * 4  # multiple of py*DEFAULT_OVERLAP_CHUNKS
     )
     assert DEFAULT_OVERLAP_CHUNKS == 4  # the constant the pad relies on
+
+
+def test_overlap_chunks_validation_and_degradation_warning():
+    """ADVICE r04: overlap_chunks < 1 raises (max(1, .) used to silently
+    clamp), and an explicit request that a segment cannot realize warns -
+    a degraded request lowers the same HLO as a smaller one, poisoning
+    A/B benchmark protocols."""
+    import warnings
+
+    from sopht_mpi_tpu.parallel.fft import (
+        distributed_free_space_convolve,
+        distributed_rfftn,
+        realized_overlap_chunks,
+    )
+    from sopht_mpi_tpu.parallel.mesh import create_mesh, shard_scalar_field
+
+    rng = np.random.default_rng(5)
+    grid = (16, 16, 16)
+    mesh = create_mesh(3, (4, 2))
+    r = shard_scalar_field(
+        jnp.asarray(rng.standard_normal(grid), jnp.float32), mesh
+    )
+    g = jnp.real(
+        distributed_rfftn(
+            shard_scalar_field(
+                jnp.asarray(
+                    rng.standard_normal(tuple(2 * s for s in grid)),
+                    jnp.float32,
+                ),
+                mesh,
+            ),
+            mesh,
+        )
+    )
+    with pytest.raises(ValueError, match="overlap_chunks"):
+        distributed_free_space_convolve(r, g, mesh, overlap_chunks=0)
+    # nzl = nz/pz = 4: a request of 3 realizes its largest divisor 2 on
+    # the fwd/inv segments -> must warn
+    assert realized_overlap_chunks(16, 16, g.shape[-1], 4, 2, False, 3)[0] == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        distributed_free_space_convolve(r, g, mesh, overlap_chunks=3)
+    assert any("realized as" in str(x.message) for x in w)
+    # an exactly-realizable request stays silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        distributed_free_space_convolve(r, g, mesh, overlap_chunks=2)
+    assert not any("realized as" in str(x.message) for x in w)
