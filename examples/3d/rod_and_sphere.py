@@ -184,14 +184,27 @@ def rod_and_sphere_case(
         free_stream_fn=lambda t: jnp.asarray(velocity_free_stream, real_t),
         sub_dt=rod_dt,
     )
-    carry = init_multi_body_fsi_carry(flow_sim, bodies)
+    carry = init_multi_body_fsi_carry(flow_sim, bodies, step)
+    sparse = getattr(step, "uses_sparse_forcing", False)
+    if sparse:
+        logger.info("per-body sparse IBM forcing windows engaged")
 
     drag_scale = (
         0.5 * rho_f * u_free_stream**2 * 0.25 * np.pi * sphere_diameter**2
     )
     times, tips, drags = [], [], []
     while float(carry.time) < final_time:
-        carry, lag_sums = scan_steps(step, carry, window, donate=True)
+        carry, diag = scan_steps(step, carry, window, donate=True)
+        if sparse:
+            lag_sums, windows_ok = diag
+            if not bool(jnp.all(windows_ok)):
+                raise RuntimeError(
+                    "a body's sparse forcing window failed to cover its "
+                    "support; rerun with "
+                    "build_multi_body_fsi_step(..., sparse_forcing=False)"
+                )
+        else:
+            lag_sums = diag
         t = float(carry.time)
         tip = np.asarray(carry.body_states[0].position[:, -1])
         # sphere drag from the summed Lagrangian forcing (force on body =

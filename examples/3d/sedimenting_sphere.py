@@ -124,12 +124,19 @@ def sedimenting_sphere_case(
     step = build_multi_body_fsi_step(
         flow_sim, bodies, dt_prefac=0.5, substeps=substeps
     )
-    carry = init_multi_body_fsi_carry(flow_sim, bodies)
+    carry = init_multi_body_fsi_carry(flow_sim, bodies, step)
+    sparse = getattr(step, "uses_sparse_forcing", False)
 
     final_time = n_tau * tau
     times, vels = [], []
     while float(carry.time) < final_time:
-        carry, _ = scan_steps(step, carry, window, donate=True)
+        carry, diag = scan_steps(step, carry, window, donate=True)
+        if sparse and not bool(jnp.all(diag[1])):
+            raise RuntimeError(
+                "the sphere's sparse forcing window failed to cover its "
+                "support; rerun with "
+                "build_multi_body_fsi_step(..., sparse_forcing=False)"
+            )
         t = float(carry.time)
         vz = float(carry.body_states[0].velocity[2])
         times.append(t)

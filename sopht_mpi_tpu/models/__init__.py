@@ -36,6 +36,7 @@ from sopht_mpi_tpu.models.fsi import (
     build_rigid_fsi_step,
     build_rod_fsi_step,
     build_multi_body_fsi_step,
+    suggest_rigid_forcing_window,
     suggest_rod_forcing_window,
     init_rigid_fsi_carry,
     init_rod_fsi_carry,

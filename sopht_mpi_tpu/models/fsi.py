@@ -425,6 +425,95 @@ def init_rigid_fsi_carry(flow_sim, interactor, step=None) -> RigidFSICarry:
     return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 
 
+def _sparse_window_tools(flow_sim, params, wshape):
+    """The moving-window machinery shared by the sparse rod and sparse
+    multi-body FSI paths: for a static ``(Wz, Wy, Wx)`` window tracking a
+    body's marker support, returns
+
+    - ``window_mats(lagp) -> (start, axis_mats, ok)`` - dynamic window
+      start (component order x, y, z), per-axis mm weight matrices in
+      window coordinates, and the validity flag (support >= 2 cells inside
+      the window per side, or the window flush with the domain wall there
+      so clipping semantics coincide with the dense path's);
+    - ``slice_window(field, start)`` - the ``(3, Wz, Wy, Wx)`` window of a
+      grid vector field (meshless ``dynamic_slice``; masked shard_map
+      gather + psum under a mesh, where the window work runs REPLICATED
+      per chip - the reference's Lagrangian posture, O(markers) per rank
+      at any rank count, VirtualBoundaryForcingMPI.py:333-429);
+    - ``windowed_add(field, win, start)`` - add a window into the grid
+      field (collective-free masked local add under a mesh).
+    """
+    from sopht_mpi_tpu.ops.ibm import (
+        axis_delta_weight_matrices,
+        nearest_grid_index_and_support,
+    )
+
+    Wz, Wy, Wx = (int(w) for w in wshape)
+    nz, ny, nx = flow_sim.grid_size
+    if Wz > nz or Wy > ny or Wx > nx:
+        raise ValueError(
+            f"sparse forcing window {wshape} exceeds the grid "
+            f"{flow_sim.grid_size}"
+        )
+    n_xyz_arr = jnp.asarray([nx, ny, nz], jnp.int32)
+    w_xyz_arr = jnp.asarray([Wx, Wy, Wz], jnp.int32)
+    mesh = flow_sim.mesh
+
+    def window_mats(lagp):
+        _, support_idx, support_disp = nearest_grid_index_and_support(
+            lagp, params.dx, params.eul_grid_coord_shift,
+            params.interp_kernel_width,
+        )
+        mins = support_idx.min(axis=(1, 2))  # (3,) components x, y, z
+        maxs = support_idx.max(axis=(1, 2))
+        start = jnp.clip(mins - 2, 0, n_xyz_arr - w_xyz_arr)
+        lo_ok = (start == 0) | (mins - start >= 2)
+        hi_ok = (start + w_xyz_arr == n_xyz_arr) | (
+            maxs - start <= w_xyz_arr - 3
+        )
+        ok = jnp.all(lo_ok & hi_ok)
+        shifted = support_idx - start[:, None, None]
+        mats = axis_delta_weight_matrices(
+            shifted, support_disp, params.dx, (Wz, Wy, Wx),
+            params.delta_kind,
+        )
+        return start, mats, ok
+
+    if mesh is not None:
+        # under a mesh GSPMD would all-gather the WHOLE field for a
+        # traced-start dynamic_slice of a sharded operand; the masked
+        # shard_map primitives touch only each shard's overlap
+        from sopht_mpi_tpu.parallel.windows import (
+            add_window_into_field,
+            gather_window_replicated,
+        )
+
+        def slice_window(field, start):
+            return gather_window_replicated(field, start, (Wz, Wy, Wx), mesh)
+
+        def windowed_add(field, win, start):
+            return add_window_into_field(field, win, start, mesh)
+
+    else:
+
+        def slice_window(field, start):
+            zero = jnp.zeros((), start.dtype)
+            return jax.lax.dynamic_slice(
+                field, (zero, start[2], start[1], start[0]), (3, Wz, Wy, Wx)
+            )
+
+        def windowed_add(field, win, start):
+            zero = jnp.zeros((), start.dtype)
+            starts = (zero, start[2], start[1], start[0])
+            return jax.lax.dynamic_update_slice(
+                field,
+                jax.lax.dynamic_slice(field, starts, (3, Wz, Wy, Wx)) + win,
+                starts,
+            )
+
+    return window_mats, slice_window, windowed_add
+
+
 def build_rod_fsi_step(
     flow_sim,
     interactor,
@@ -464,9 +553,12 @@ def build_rod_fsi_step(
     ``finalize()``-d, with the ``FlowForces`` coupling NOT registered (the
     flow forces are computed in-trace here).
 
-    ``sparse_forcing_window`` (opt-in, 3D unsharded only): static
+    ``sparse_forcing_window`` (opt-in, 3D; meshless or sharded): static
     ``(Wz, Wy, Wx)`` cell counts - the IBM spread + forcing curl then act
-    on a MOVING window of that size tracking the marker support
+    on a MOVING window of that size tracking the marker support. Under a
+    mesh the window work runs replicated per chip and only the two
+    sharded-grid touches (velocity-window gather, windowed vorticity add)
+    go through :mod:`sopht_mpi_tpu.parallel.windows`
     (:func:`suggest_rod_forcing_window` sizes it from the current rod
     extent). The flow advances through the no-forcing step. Because the
     markers move, the step's diagnostic becomes ``(lag_force_sum,
@@ -503,25 +595,13 @@ def build_rod_fsi_step(
 
     sparse = sparse_forcing_window is not None
     if sparse:
-        if (
-            dim != 3
-            or flow_sim.mesh is not None
-            or not hasattr(flow_sim, "_step_l1_noforcing_fn")
-        ):
+        if dim != 3 or not hasattr(flow_sim, "_step_l1_noforcing_fn"):
             raise ValueError(
-                "sparse_forcing_window needs a 3D unsharded "
+                "sparse_forcing_window needs a 3D "
                 "navier_stokes_with_forcing simulator"
             )
         Wz, Wy, Wx = (int(w) for w in sparse_forcing_window)
-        nz, ny, nx = flow_sim.grid_size
-        if Wz > nz or Wy > ny or Wx > nx:
-            raise ValueError(
-                f"sparse_forcing_window {sparse_forcing_window} exceeds the "
-                f"grid {flow_sim.grid_size}"
-            )
         flow_step_l1 = flow_sim._step_l1_noforcing_fn.__wrapped__
-        n_xyz_arr = jnp.asarray([nx, ny, nz], jnp.int32)
-        w_xyz_arr = jnp.asarray([Wx, Wy, Wz], jnp.int32)
 
     def rod_flow_loads(rod_state, vb_state, velocity_field):
         interaction = compute_interaction_force_on_lag_grid(
@@ -536,44 +616,13 @@ def build_rod_fsi_step(
 
     if sparse:
         from sopht_mpi_tpu.ops.ibm import (
-            axis_delta_weight_matrices,
             eulerian_to_lagrangian_interpolation_mm,
-            nearest_grid_index_and_support,
         )
         from sopht_mpi_tpu.ops.virtual_boundary import compute_penalty_force
 
-        def window_mats(lagp):
-            """Dynamic window start, per-axis mm weight matrices and the
-            window-validity flag for the CURRENT marker positions. Valid
-            when the support sits >= 2 cells inside the window (the window
-            ring zeroing of curl_3d then only touches zero-curl cells) OR
-            the window is flush with the domain wall on that side (edge
-            semantics - index clipping and ring zeroing - then coincide
-            with the dense path's)."""
-            _, support_idx, support_disp = nearest_grid_index_and_support(
-                lagp, params.dx, params.eul_grid_coord_shift,
-                params.interp_kernel_width,
-            )
-            mins = support_idx.min(axis=(1, 2))  # (3,) components x, y, z
-            maxs = support_idx.max(axis=(1, 2))
-            start = jnp.clip(mins - 2, 0, n_xyz_arr - w_xyz_arr)
-            lo_ok = (start == 0) | (mins - start >= 2)
-            hi_ok = (start + w_xyz_arr == n_xyz_arr) | (
-                maxs - start <= w_xyz_arr - 3
-            )
-            ok = jnp.all(lo_ok & hi_ok)
-            shifted = support_idx - start[:, None, None]
-            mats = axis_delta_weight_matrices(
-                shifted, support_disp, params.dx, (Wz, Wy, Wx),
-                params.delta_kind,
-            )
-            return start, mats, ok
-
-        def slice_window(field, start):
-            zero = jnp.zeros((), start.dtype)
-            return jax.lax.dynamic_slice(
-                field, (zero, start[2], start[1], start[0]), (3, Wz, Wy, Wx)
-            )
+        window_mats, slice_window, windowed_add = _sparse_window_tools(
+            flow_sim, params, (Wz, Wy, Wx)
+        )
 
         def rod_flow_loads_windowed(rod_state, vb_state, velocity_field):
             """Same loads as rod_flow_loads, but the E->L velocity gather
@@ -674,16 +723,11 @@ def build_rod_fsi_step(
             win = jnp.zeros((3, Wz, Wy, Wx), real_t)
             win = lagrangian_to_eulerian_spread_mm(win, lag_forcing, mats)
             curl_win = curl_3d(win, jnp.asarray(dt / (2.0 * params.dx), real_t))
-            zero = jnp.zeros((), start.dtype)
-            starts = (zero, start[2], start[1], start[0])
-            field = flow_state.primary_field
-            field = jax.lax.dynamic_update_slice(
-                field,
-                jax.lax.dynamic_slice(field, starts, (3, Wz, Wy, Wx))
-                + curl_win,
-                starts,
+            flow_state = flow_state._replace(
+                primary_field=windowed_add(
+                    flow_state.primary_field, curl_win, start
+                )
             )
-            flow_state = flow_state._replace(primary_field=field)
         else:
             eul_forcing, interaction = compute_interaction_force_on_eul_and_lag_grid(
                 vb_state,
@@ -768,6 +812,7 @@ def build_multi_body_fsi_step(
     *,
     sub_dt: float | None = None,
     max_substeps: int | None = None,
+    sparse_forcing: bool | None = None,
 ):
     """One fused coupled step for ANY mix of immersed bodies: Cosserat
     rods, dynamic rigid bodies, fixed rigid bodies (BASELINE config 5,
@@ -806,9 +851,26 @@ def build_multi_body_fsi_step(
     (``substeps=k``) or dynamic (``sub_dt=...`` + optional
     ``max_substeps``); with no substepped bodies both may be omitted.
 
+    ``sparse_forcing`` (round 5): per-BODY sparse IBM forcing windows.
+    None = auto - on a 3D ``navier_stokes_with_forcing`` simulator
+    (meshless or sharded), when EVERY body gets a support window under
+    70% of the grid (:func:`suggest_rod_forcing_window` /
+    :func:`suggest_rigid_forcing_window`), each body's spread + forcing
+    curl act on its own moving window and the windowed curls add straight
+    into the vorticity (curl is linear - overlapping windows compose
+    exactly); the flow then advances through the no-forcing step. True
+    requires it (raises if unsupported); False forces the dense
+    reference-shaped shared-forcing-field path. When sparse engages, the
+    step gets ``uses_sparse_forcing = True`` (pair with
+    ``init_multi_body_fsi_carry(flow_sim, bodies, step)`` to drop the
+    unused full-field forcing leaf) and the diagnostics become
+    ``(lag_force_sums, windows_ok)``; check ``windows_ok`` at scan-window
+    boundaries as with the rod builder.
+
     :returns: ``step(carry: MultiBodyFSICarry) -> (carry, lag_force_sums)``
         with ``lag_force_sums`` a per-body tuple of (grid_dim,) summed
-        Lagrangian forcing.
+        Lagrangian forcing (see ``sparse_forcing`` for the sparse-path
+        diagnostics shape).
     """
     from sopht_mpi_tpu.models.rigid_body import (
         rigid_body_position_verlet_step,
@@ -868,16 +930,97 @@ def build_multi_body_fsi_step(
         if isinstance(spec, FixedRigidBody)
     }
 
+    # ---- per-body sparse forcing windows (round 5; BASELINE config 5
+    # perf): curl is linear, so each body's windowed forcing-curl adds
+    # into the vorticity independently - overlapping windows compose
+    # exactly - and the flow advances through the no-forcing step ----
+    body_windows = None
+    if (
+        sparse_forcing is not False
+        and dim == 3
+        and hasattr(flow_sim, "_step_l1_noforcing_fn")
+    ):
+        wins = []
+        for spec in bodies:
+            if isinstance(spec, RodBody):
+                wins.append(
+                    suggest_rod_forcing_window(
+                        spec.interactor,
+                        spec.rod_collection._systems[0],
+                        flow_sim.grid_size,
+                    )
+                )
+            else:
+                wins.append(
+                    suggest_rigid_forcing_window(
+                        spec.interactor, flow_sim.grid_size
+                    )
+                )
+        if all(w is not None for w in wins):
+            body_windows = tuple(wins)
+    if sparse_forcing is True and body_windows is None:
+        raise ValueError(
+            "sparse_forcing=True requested but unsupported here (needs a "
+            "3D navier_stokes_with_forcing simulator and per-body support "
+            "windows each under 70% of the grid)"
+        )
+    sparse = body_windows is not None
+    if sparse:
+        from sopht_mpi_tpu.ops.ibm import (
+            eulerian_to_lagrangian_interpolation_mm,
+            lagrangian_to_eulerian_spread_mm,
+        )
+        from sopht_mpi_tpu.ops.stencils_3d import curl_3d
+        from sopht_mpi_tpu.ops.virtual_boundary import compute_penalty_force
+        from sopht_mpi_tpu.utils.logging_utils import logger
+
+        flow_step_l1 = flow_sim._step_l1_noforcing_fn.__wrapped__
+        body_tools = tuple(
+            _sparse_window_tools(flow_sim, spec.interactor.params, w)
+            for spec, w in zip(bodies, body_windows)
+        )
+        logger.info(
+            "build_multi_body_fsi_step: per-body sparse-window IBM "
+            f"forcing engaged (windows {body_windows}); pass this step to "
+            "init_multi_body_fsi_carry(..., step=step) to drop the unused "
+            "full-field forcing buffer from the carry"
+        )
+
+        def windowed_interaction(i, vb, velocity_field, pos, vel):
+            """Body i's penalty interaction through its moving window:
+            (lag_forcing, velocity_mismatch, start, mats, ok)."""
+            window_mats, slice_window, _ = body_tools[i]
+            params_i = bodies[i].interactor.params
+            start, mats, ok = window_mats(pos)
+            u_win = slice_window(velocity_field, start)
+            flow_velocity = eulerian_to_lagrangian_interpolation_mm(
+                u_win, mats, params_i.dx
+            )
+            mismatch = flow_velocity - vel
+            lag_forcing = compute_penalty_force(
+                vb.position_mismatch, mismatch, params_i
+            )
+            return lag_forcing, mismatch, start, mats, ok
+
     def body_substep(i, spec, state, vb, velocity_field, t, dt_sub):
-        """One substep of body i; returns (state, vb)."""
+        """One substep of body i; returns (state, vb, window_ok)."""
         grid = spec.interactor.forcing_grid
         params = spec.interactor.params
-        if isinstance(spec, RodBody):
+        if sparse:
+            lag_forcing, mismatch, _, _, ok = windowed_interaction(
+                i, vb, velocity_field,
+                grid.lag_positions(state), grid.lag_velocities(state),
+            )
+        else:
             interaction = compute_interaction_force_on_lag_grid(
                 vb, velocity_field, grid.lag_positions(state),
                 grid.lag_velocities(state), params,
             )
-            forces, torques = grid.body_loads(state, interaction.lag_forcing)
+            lag_forcing = interaction.lag_forcing
+            mismatch = interaction.velocity_mismatch
+            ok = jnp.asarray(True)
+        forces, torques = grid.body_loads(state, lag_forcing)
+        if isinstance(spec, RodBody):
             pdtype = state.position.dtype
             state = rod_steps[i](
                 state,
@@ -887,11 +1030,6 @@ def build_multi_body_fsi_step(
                 torques.astype(pdtype),
             )
         else:  # DynamicRigidBody
-            interaction = compute_interaction_force_on_lag_grid(
-                vb, velocity_field, grid.lag_positions(state),
-                grid.lag_velocities(state), params,
-            )
-            forces, torques = grid.body_loads(state, interaction.lag_forcing)
             force = jnp.reshape(forces, (3,))
             torque = jnp.reshape(torques, (3,))
             if spec.load_fn is not None:
@@ -911,10 +1049,8 @@ def build_multi_body_fsi_step(
                 spec.rigid_body.mass,
                 jnp.asarray(spec.rigid_body.inertia_body, pdtype),
             )
-        vb = virtual_boundary_time_step(
-            vb, interaction.velocity_mismatch, dt_sub
-        )
-        return state, vb
+        vb = virtual_boundary_time_step(vb, mismatch, dt_sub)
+        return state, vb, ok
 
     def step(carry: MultiBodyFSICarry):
         (flow_state, body_states, vb_states, prev_mis, time, greens,
@@ -922,6 +1058,7 @@ def build_multi_body_fsi_step(
         dt = flow_dt(u_l1)
         real_t = flow_state.velocity_field.dtype
 
+        windows_ok = jnp.asarray(True)
         if any_sub:
             if dynamic:
                 n_raw = jnp.floor(
@@ -936,19 +1073,20 @@ def build_multi_body_fsi_step(
 
             def substep(c, i_sub):
                 def active(c):
-                    states, vbs, t = c
+                    states, vbs, t, ok = c
                     new_states, new_vbs = [], []
                     for i, spec in enumerate(bodies):
                         if substepped[i]:
-                            s, vb = body_substep(
+                            s, vb, sub_ok = body_substep(
                                 i, spec, states[i], vbs[i],
                                 flow_state.velocity_field, t, dt_sub,
                             )
+                            ok = ok & sub_ok
                         else:
                             s, vb = states[i], vbs[i]
                         new_states.append(s)
                         new_vbs.append(vb)
-                    return (tuple(new_states), tuple(new_vbs), t + dt_sub)
+                    return (tuple(new_states), tuple(new_vbs), t + dt_sub, ok)
 
                 c = (
                     jax.lax.cond(i_sub < n_sub, active, lambda c: c, c)
@@ -957,16 +1095,22 @@ def build_multi_body_fsi_step(
                 )
                 return c, None
 
-            (body_states, vb_states, _), _ = jax.lax.scan(
+            (body_states, vb_states, _, windows_ok), _ = jax.lax.scan(
                 substep,
-                (body_states, vb_states, time),
+                (body_states, vb_states, time, windows_ok),
                 jnp.arange(scan_length, dtype=jnp.int32),
             )
 
         # fixed bodies integrate mismatch once with the previous mismatch,
-        # then EVERY body spreads onto the shared forcing field
-        eul_forcing = jnp.zeros_like(flow_state.eul_grid_forcing_field)
+        # then EVERY body spreads its penalty forcing: onto the shared
+        # forcing field (dense), or - sparse - as a windowed forcing-curl
+        # added straight into the vorticity (curl is linear; overlapping
+        # body windows compose exactly)
         new_vbs, new_prev, lag_sums = [], [], []
+        if sparse:
+            field = flow_state.primary_field
+        else:
+            eul_forcing = jnp.zeros_like(flow_state.eul_grid_forcing_field)
         for i, spec in enumerate(bodies):
             vb = vb_states[i]
             params = spec.interactor.params
@@ -977,19 +1121,34 @@ def build_multi_body_fsi_step(
             else:
                 pos = grid.lag_positions(body_states[i])
                 vel = grid.lag_velocities(body_states[i])
-            eul_forcing, interaction = (
-                compute_interaction_force_on_eul_and_lag_grid(
-                    vb, eul_forcing, flow_state.velocity_field, pos, vel,
-                    params,
+            if sparse:
+                lag_forcing, mismatch, start, mats, ok_i = (
+                    windowed_interaction(
+                        i, vb, flow_state.velocity_field, pos, vel
+                    )
                 )
-            )
+                windows_ok = windows_ok & ok_i
+                wz, wy, wx = body_windows[i]
+                win = jnp.zeros((3, wz, wy, wx), real_t)
+                win = lagrangian_to_eulerian_spread_mm(win, lag_forcing, mats)
+                curl_win = curl_3d(
+                    win, jnp.asarray(dt / (2.0 * params.dx), real_t)
+                )
+                field = body_tools[i][2](field, curl_win, start)
+            else:
+                eul_forcing, interaction = (
+                    compute_interaction_force_on_eul_and_lag_grid(
+                        vb, eul_forcing, flow_state.velocity_field, pos, vel,
+                        params,
+                    )
+                )
+                lag_forcing = interaction.lag_forcing
+                mismatch = interaction.velocity_mismatch
             new_vbs.append(vb)
             # cast to the carried dtype: float64 rod kinematics feeding a
             # float32 flow must not promote the carry leaf mid-scan
-            new_prev.append(
-                interaction.velocity_mismatch.astype(prev_mis[i].dtype)
-            )
-            lag_sums.append(jnp.sum(interaction.lag_forcing, axis=1))
+            new_prev.append(mismatch.astype(prev_mis[i].dtype))
+            lag_sums.append(jnp.sum(lag_forcing, axis=1))
 
         fsv = jnp.asarray(
             free_stream_fn(time)
@@ -997,7 +1156,12 @@ def build_multi_body_fsi_step(
             else jnp.zeros(dim, real_t),
             real_t,
         )
-        flow_state = flow_state._replace(eul_grid_forcing_field=eul_forcing)
+        if sparse:
+            flow_state = flow_state._replace(primary_field=field)
+        else:
+            flow_state = flow_state._replace(
+                eul_grid_forcing_field=eul_forcing
+            )
         flow_state, new_l1 = flow_step_l1(flow_state, dt, fsv, greens)
         new_carry = MultiBodyFSICarry(
             flow_state,
@@ -1008,14 +1172,21 @@ def build_multi_body_fsi_step(
             greens,
             new_l1 if new_l1 is not None else u_l1,
         )
-        return new_carry, tuple(lag_sums)
+        diag = tuple(lag_sums)
+        return new_carry, (diag, windows_ok) if sparse else diag
 
+    step.uses_sparse_forcing = sparse
     return step
 
 
-def init_multi_body_fsi_carry(flow_sim, bodies) -> MultiBodyFSICarry:
+def init_multi_body_fsi_carry(flow_sim, bodies, step=None) -> MultiBodyFSICarry:
     """Initial carry for :func:`build_multi_body_fsi_step` (fresh
-    interactors, zero mismatch)."""
+    interactors, zero mismatch).
+
+    Pass the built ``step`` to let the carry drop what that step never
+    reads: the per-body sparse-forcing step ignores the full-field
+    ``eul_grid_forcing_field``, so its leaf shrinks to a zero-size
+    placeholder (as :func:`init_rigid_fsi_carry` does)."""
     body_states, vb_states, prev = [], [], []
     for spec in bodies:
         if isinstance(spec, RodBody):
@@ -1028,8 +1199,17 @@ def init_multi_body_fsi_carry(flow_sim, bodies) -> MultiBodyFSICarry:
         prev.append(
             jnp.zeros_like(spec.interactor.state.position_mismatch)
         )
+    flow_state = flow_sim._get_state()
+    if getattr(step, "uses_sparse_forcing", False):
+        flow_state = flow_state._replace(
+            eul_grid_forcing_field=jnp.zeros(
+                (flow_state.eul_grid_forcing_field.shape[0],) + (0,)
+                * (flow_state.eul_grid_forcing_field.ndim - 1),
+                flow_state.eul_grid_forcing_field.dtype,
+            )
+        )
     carry = MultiBodyFSICarry(
-        flow_state=flow_sim._get_state(),
+        flow_state=flow_state,
         body_states=tuple(body_states),
         vb_states=tuple(vb_states),
         prev_mismatches=tuple(prev),
@@ -1065,6 +1245,31 @@ def suggest_rod_forcing_window(
     radius = float(np.asarray(rod.params.radius).max())
     reach = float(lengths.sum()) + 2.0 * radius
     cells = int(np.ceil(margin * reach / params.dx))
+    w = cells + 2 * params.interp_kernel_width + 6
+    nz, ny, nx = (int(v) for v in grid_size)
+    win = (min(w, nz), min(w, ny), min(w, nx))
+    if np.prod(win) > max_grid_fraction * nz * ny * nx:
+        return None
+    return win
+
+
+def suggest_rigid_forcing_window(
+    interactor, grid_size, margin=1.1, max_grid_fraction=0.7
+):
+    """Static ``(Wz, Wy, Wx)`` window cells for a (possibly moving) rigid
+    body's sparse IBM forcing, sized from its ROTATION-SAFE envelope: the
+    markers always fit a per-axis box of the body's circumscribing
+    diameter no matter how it rotates, and the window START tracks
+    translation in-trace (the multi-body sparse path / window_mats).
+    Returns None when the windowed volume would exceed
+    ``max_grid_fraction`` of the grid - the dense path is then better."""
+    import numpy as np
+
+    params = interactor.params
+    pos = np.asarray(interactor.forcing_grid.compute_lag_grid_position_field())
+    centroid = pos.mean(axis=1, keepdims=True)
+    diameter = 2.0 * float(np.linalg.norm(pos - centroid, axis=0).max())
+    cells = int(np.ceil(margin * diameter / params.dx))
     w = cells + 2 * params.interp_kernel_width + 6
     nz, ny, nx = (int(v) for v in grid_size)
     win = (min(w, nz), min(w, ny), min(w, nx))

@@ -970,3 +970,218 @@ def test_fsi_scan_gradient_assimilates_initial_condition():
         a = a - lr * jnp.sign(g)
         lr = max(lr * 0.7, 1e-3)
     assert abs(float(a) - a_true) < 5e-3, float(a)
+
+
+# -- round 5: sparse-window IBM under a mesh (rod + multi-body) --------------
+
+
+def _rod_3d_case(mesh, sparse, real_t=jnp.float64):
+    """Small 3D rod FSI case; returns (step, carry, sparse_engaged)."""
+    from sopht_mpi_tpu.models import (
+        CosseratRodSurfaceForcingGrid,
+        UnboundedFlowSimulator3D,
+        suggest_rod_forcing_window,
+    )
+
+    flow_sim = UnboundedFlowSimulator3D(
+        grid_size=(32, 32, 32),
+        x_range=1.0,
+        kinematic_viscosity=1e-3,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+        real_t=real_t,
+        mesh=mesh,
+    )
+    flow_sim.velocity_field = flow_sim.velocity_field + 1.0
+    rod = CosseratRod.straight_rod(
+        6,
+        np.array([0.5, 0.4, 0.5]),
+        np.array([0.0, 1.0, 0.0]),
+        np.array([0.0, 0.0, 1.0]),
+        base_length=0.25,
+        base_radius=0.02,
+        density=1e3,
+        youngs_modulus=1e5,
+        shear_modulus=1e5 / 1.5,
+    )
+    collection = BaseSystemCollection()
+    collection.append(rod)
+    collection.constrain(rod).using(
+        OneEndFixedBC,
+        constrained_position_idx=(0,),
+        constrained_director_idx=(0,),
+    )
+    collection.finalize()
+    interactor = CosseratRodFlowInteraction(
+        flow_sim=flow_sim,
+        cosserat_rod=rod,
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+        forcing_grid_cls=CosseratRodSurfaceForcingGrid,
+        surface_grid_density_for_largest_element=4,
+    )
+    win = (
+        suggest_rod_forcing_window(interactor, rod, flow_sim.grid_size)
+        if sparse
+        else None
+    )
+    if sparse:
+        assert win is not None
+    step = build_rod_fsi_step(
+        flow_sim,
+        interactor,
+        collection,
+        rod_substeps=1,
+        dt_prefac=0.5,
+        free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], real_t),
+        sparse_forcing_window=win,
+    )
+    return step, init_rod_fsi_carry(flow_sim, interactor, rod)
+
+
+def test_rod_fsi_sparse_window_matches_dense_sharded():
+    """Round 5: the rod's MOVING sparse forcing window engages under a
+    mesh (the round-4 gate at fsi.py:508 is lifted): window work runs
+    replicated, the velocity-window gather and the windowed vorticity add
+    go through parallel.windows - and equals the dense path on the SAME
+    mesh AND the meshless sparse path (reference posture: O(markers)
+    Lagrangian work at any rank count,
+    VirtualBoundaryForcingMPI.py:333-429)."""
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    def run(mesh, sparse):
+        step, carry = _rod_3d_case(mesh, sparse)
+        carry, diag = scan_steps(step, carry, 3)
+        if sparse:
+            _, ok = diag
+            assert bool(jnp.all(ok))
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.rod_state.position[:, -1]),
+        )
+
+    w_ml, tip_ml = run(None, True)
+    for mesh_shape in [(4, 2), (8, 1)]:
+        mesh = create_mesh(3, mesh_shape)
+        w_sp, tip_sp = run(mesh, True)
+        w_dn, tip_dn = run(mesh, False)
+        np.testing.assert_allclose(w_sp, w_dn, atol=1e-13, err_msg=str(mesh_shape))
+        np.testing.assert_allclose(tip_sp, tip_dn, atol=1e-14)
+        np.testing.assert_allclose(w_sp, w_ml, atol=1e-13)
+        np.testing.assert_allclose(tip_sp, tip_ml, atol=1e-14)
+
+
+def _multibody_3d_case(mesh, sparse, real_t=jnp.float64):
+    from sopht_mpi_tpu.models import (
+        CosseratRodSurfaceForcingGrid,
+        FixedRigidBody,
+        RodBody,
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+        build_multi_body_fsi_step,
+        init_multi_body_fsi_carry,
+    )
+
+    flow_sim = UnboundedFlowSimulator3D(
+        grid_size=(32, 32, 32),
+        x_range=1.0,
+        kinematic_viscosity=1e-3,
+        flow_type="navier_stokes_with_forcing",
+        with_free_stream_flow=True,
+        real_t=real_t,
+        mesh=mesh,
+    )
+    flow_sim.velocity_field = flow_sim.velocity_field + 1.0
+    rod = CosseratRod.straight_rod(
+        5,
+        np.array([0.3, 0.4, 0.6]),
+        np.array([0.0, 0.0, -1.0]),
+        np.array([0.0, 1.0, 0.0]),
+        base_length=0.25,
+        base_radius=0.02,
+        density=1e3,
+        youngs_modulus=1e5,
+        shear_modulus=1e5 / 1.5,
+    )
+    collection = BaseSystemCollection()
+    collection.append(rod)
+    collection.constrain(rod).using(
+        OneEndFixedBC,
+        constrained_position_idx=(0,),
+        constrained_director_idx=(0,),
+    )
+    collection.finalize()
+    rod_interactor = CosseratRodFlowInteraction(
+        flow_sim=flow_sim,
+        cosserat_rod=rod,
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+        forcing_grid_cls=CosseratRodSurfaceForcingGrid,
+        surface_grid_density_for_largest_element=4,
+    )
+    sphere = Sphere(
+        center=np.array([0.7, 0.5, 0.5]), radius=0.1, dtype=real_t
+    )
+    sph_interactor = RigidBodyFlowInteraction(
+        flow_sim=flow_sim,
+        rigid_body=sphere,
+        forcing_grid=SphereForcingGrid(
+            rigid_body=sphere, num_forcing_points_along_equator=12
+        ),
+        virtual_boundary_stiffness_coeff=-1e3,
+        virtual_boundary_damping_coeff=-1e0,
+    )
+    bodies = (RodBody(rod_interactor, collection), FixedRigidBody(sph_interactor))
+    step = build_multi_body_fsi_step(
+        flow_sim,
+        bodies,
+        dt_prefac=0.5,
+        substeps=1,
+        free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], real_t),
+        sparse_forcing=sparse,
+    )
+    assert getattr(step, "uses_sparse_forcing") == (sparse is not False)
+    return step, init_multi_body_fsi_carry(flow_sim, bodies, step)
+
+
+@pytest.mark.parametrize("mesh_shape", [None, (4, 2)])
+def test_multi_body_sparse_forcing_matches_dense(mesh_shape):
+    """Round 5: per-BODY sparse forcing windows in the multi-body step
+    (rod window + rigid window, overlapping windowed curls composing by
+    linearity) equal the dense shared-forcing-field path - meshless and
+    on a pencil mesh (builder PLAN round-5 #3 / VERDICT r04 next #2)."""
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    mesh = None if mesh_shape is None else create_mesh(3, mesh_shape)
+
+    def run(sparse):
+        step, carry = _multibody_3d_case(mesh, sparse)
+        carry, diag = scan_steps(step, carry, 3)
+        if sparse is not False:
+            sums, ok = diag
+            assert bool(jnp.all(ok))
+        else:
+            sums = diag
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.body_states[0].position[:, -1]),
+            np.asarray(sums[1]),
+        )
+
+    w_d, tip_d, f_d = run(False)
+    w_s, tip_s, f_s = run(None)  # None = auto, must engage on this case
+    np.testing.assert_allclose(w_s, w_d, atol=1e-13)
+    np.testing.assert_allclose(tip_s, tip_d, atol=1e-14)
+    np.testing.assert_allclose(f_s, f_d, atol=1e-12)
+
+
+def test_multi_body_sparse_carry_drops_forcing_field():
+    """init_multi_body_fsi_carry(step=sparse) shrinks the never-read
+    full-field forcing leaf to a zero-size placeholder; the scan runs."""
+    step, carry = _multibody_3d_case(None, None)
+    assert carry.flow_state.eul_grid_forcing_field.size == 0
+    carry, (sums, ok) = scan_steps(step, carry, 2)
+    assert bool(jnp.all(ok))
+    assert bool(jnp.isfinite(carry.flow_state.primary_field).all())
+    assert np.abs(np.asarray(sums[1])).max() > 0
