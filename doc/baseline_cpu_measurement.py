@@ -17,11 +17,14 @@ must match the derived value there.
 import json
 import os
 import platform
+import sys
 import time
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CASE = os.environ.get("BASELINE_CASE", "sphere")

@@ -113,6 +113,9 @@ class UnboundedFlowSimulator3D:
         # comm/compute pipelining request of the sharded Poisson solve
         # (None = fft.DEFAULT_OVERLAP_CHUNKS; 1 = unpipelined control arm)
         self.overlap_chunks = kwargs.get("overlap_chunks", None)
+        # opt-in bf16 wire format for the distributed spectral transposes
+        # (halves all_to_all bytes, ~2e-3 solve rel err; pod-scale knob)
+        self.comm_bf16 = bool(kwargs.get("comm_bf16", False))
         # None = auto (Pallas streaming stencils on real TPU); tests
         # force True to exercise the kernels in interpret mode on CPU.
         # With a mesh the per-shard shard_map kernels serve instead of the
@@ -125,6 +128,7 @@ class UnboundedFlowSimulator3D:
             "penalty_zone_width",
             "fast_spectral",
             "overlap_chunks",
+            "comm_bf16",
             "use_pallas",
             "filter_setting_dict",
         }
@@ -187,6 +191,7 @@ class UnboundedFlowSimulator3D:
                 mesh=self.mesh,
                 fast_spectral=self.fast_spectral,
                 overlap_chunks=self.overlap_chunks,
+                comm_bf16=self.comm_bf16,
             )
 
     @property

@@ -271,12 +271,16 @@ def _build_rigid_fsi_step_sparse(
     vs the XLA gather/scatter path.
 
     Under a mesh the window work runs REPLICATED (the reference's
-    Lagrangian posture, SURVEY section 7): the velocity window is
-    all-gathered (small - the support covers ~8% of the domain per axis
-    pair), every chip does the identical marker math, and the single
-    windowed vorticity add lands back on the sharded field via
-    dynamic_update_slice. This replaces the dense full-field forcing
-    pass that cost ~16 ms/step at 256^3 on a (1,1) mesh."""
+    Lagrangian posture, SURVEY section 7): every chip does the identical
+    marker math. Round 5 cut the two window-sized collectives this path
+    used to pay (VERDICT r04 next #1a): the E->L velocity interpolation
+    contracts shard-local field blocks and psums only the (3, n_markers)
+    result (parallel.windows.windowed_e2l_mm_sharded; ~55 KB vs the
+    ~4.5 MB window all-gather at 256^3), and the windowed vorticity add
+    is a collective-free masked local add (add_window_into_field) instead
+    of gather-window + dynamic_update_slice. This replaces the dense
+    full-field forcing pass that cost ~16 ms/step at 256^3 on a (1,1)
+    mesh."""
     from sopht_mpi_tpu.ops.ibm import (
         axis_delta_weight_matrices,
         eulerian_to_lagrangian_interpolation_mm,
@@ -294,22 +298,38 @@ def _build_rigid_fsi_step_sparse(
     wshape = (z1 - z0, y1 - y0, x1 - x0)
 
     mesh = flow_sim.mesh
+    start_xyz = jnp.asarray([x0, y0, z0], jnp.int32)
     if mesh is not None:
-        from sopht_mpi_tpu.parallel.mesh import (
-            replicated_sharding,
-            vector_field_sharding,
+        from sopht_mpi_tpu.parallel.windows import (
+            add_window_into_field,
+            windowed_e2l_mm_sharded,
         )
 
-        _rep = replicated_sharding(mesh)
-        _vec = vector_field_sharding(mesh)
+        def _e2l(velocity_field, mats):
+            return windowed_e2l_mm_sharded(
+                velocity_field, mats, start_xyz, wshape, dx, mesh
+            )
 
-        def _replicate(win):
-            return jax.lax.with_sharding_constraint(win, _rep)
-
-        def _reshard(field):
-            return jax.lax.with_sharding_constraint(field, _vec)
+        def _windowed_add(field, curl_win):
+            return add_window_into_field(field, curl_win, start_xyz, mesh)
     else:
-        _replicate = _reshard = lambda a: a
+
+        def _e2l(velocity_field, mats):
+            return eulerian_to_lagrangian_interpolation_mm(
+                jax.lax.slice(
+                    velocity_field, (0, z0, y0, x0), (3, z1, y1, x1)
+                ),
+                mats,
+                dx,
+            )
+
+        def _windowed_add(field, curl_win):
+            return jax.lax.dynamic_update_slice(
+                field,
+                jax.lax.slice(field, (0, z0, y0, x0), (3, z1, y1, x1))
+                + curl_win,
+                (0, z0, y0, x0),
+            )
 
     # build-time (host/eager) A-matrix computation from the constant
     # markers; init_rigid_fsi_carry uploads these into the carry
@@ -340,18 +360,11 @@ def _build_rigid_fsi_step_sparse(
         dt = flow_dt(u_l1)
         vb_state = virtual_boundary_time_step(vb_state, prev_mismatch, dt)
         real_t = flow_state.velocity_field.dtype
-        # E->L velocity interpolation: windowed separable matmuls
-        # (all-gathered to replicated under a mesh - the marker math then
-        # runs identically on every chip, the reference's posture)
-        u_win = _replicate(
-            jax.lax.slice(
-                flow_state.velocity_field,
-                (0, z0, y0, x0), (3, z1, y1, x1),
-            )
-        )
-        flow_velocity = eulerian_to_lagrangian_interpolation_mm(
-            u_win, mats, dx
-        )
+        # E->L velocity interpolation: windowed separable matmuls (under a
+        # mesh: shard-local block contraction, one (3, n) psum - the
+        # marker math downstream runs identically on every chip, the
+        # reference's posture)
+        flow_velocity = _e2l(flow_state.velocity_field, mats)
         velocity_mismatch = flow_velocity - lag_vel
         lag_forcing = compute_penalty_force(
             vb_state.position_mismatch, velocity_mismatch, params
@@ -361,17 +374,7 @@ def _build_rigid_fsi_step_sparse(
         win = lagrangian_to_eulerian_spread_mm(win, lag_forcing, mats)
         pref = jnp.asarray(dt / (2.0 * dx), real_t)
         curl_win = curl_3d(win, pref)
-        field = flow_state.primary_field
-        field = _reshard(
-            jax.lax.dynamic_update_slice(
-                field,
-                _replicate(
-                    jax.lax.slice(field, (0, z0, y0, x0), (3, z1, y1, x1))
-                )
-                + curl_win,
-                (0, z0, y0, x0),
-            )
-        )
+        field = _windowed_add(flow_state.primary_field, curl_win)
         fsv = jnp.asarray(
             free_stream_fn(time)
             if free_stream_fn is not None
@@ -435,11 +438,13 @@ def _sparse_window_tools(flow_sim, params, wshape):
       window coordinates, and the validity flag (support >= 2 cells inside
       the window per side, or the window flush with the domain wall there
       so clipping semantics coincide with the dense path's);
-    - ``slice_window(field, start)`` - the ``(3, Wz, Wy, Wx)`` window of a
-      grid vector field (meshless ``dynamic_slice``; masked shard_map
-      gather + psum under a mesh, where the window work runs REPLICATED
-      per chip - the reference's Lagrangian posture, O(markers) per rank
-      at any rank count, VirtualBoundaryForcingMPI.py:333-429);
+    - ``e2l_interp(field, start, mats)`` - the E->L separable-matmul
+      interpolation of a grid vector field over the window (meshless:
+      ``dynamic_slice`` + mm; under a mesh: shard-local block contraction
+      + one (c, n_markers) psum - NO window-sized collective, VERDICT r04
+      next #1a - while the rest of the marker math runs REPLICATED per
+      chip, the reference's Lagrangian posture: O(markers) per rank at
+      any rank count, VirtualBoundaryForcingMPI.py:333-429);
     - ``windowed_add(field, win, start)`` - add a window into the grid
       field (collective-free masked local add under a mesh).
     """
@@ -482,24 +487,33 @@ def _sparse_window_tools(flow_sim, params, wshape):
     if mesh is not None:
         # under a mesh GSPMD would all-gather the WHOLE field for a
         # traced-start dynamic_slice of a sharded operand; the masked
-        # shard_map primitives touch only each shard's overlap
+        # shard_map primitives touch only each shard's overlap, and the
+        # E->L side psums only the (c, n_markers) result
         from sopht_mpi_tpu.parallel.windows import (
             add_window_into_field,
-            gather_window_replicated,
+            windowed_e2l_mm_sharded,
         )
 
-        def slice_window(field, start):
-            return gather_window_replicated(field, start, (Wz, Wy, Wx), mesh)
+        def e2l_interp(field, start, mats):
+            return windowed_e2l_mm_sharded(
+                field, mats, start, (Wz, Wy, Wx), params.dx, mesh
+            )
 
         def windowed_add(field, win, start):
             return add_window_into_field(field, win, start, mesh)
 
     else:
+        from sopht_mpi_tpu.ops.ibm import (
+            eulerian_to_lagrangian_interpolation_mm,
+        )
 
-        def slice_window(field, start):
+        def e2l_interp(field, start, mats):
             zero = jnp.zeros((), start.dtype)
-            return jax.lax.dynamic_slice(
+            win = jax.lax.dynamic_slice(
                 field, (zero, start[2], start[1], start[0]), (3, Wz, Wy, Wx)
+            )
+            return eulerian_to_lagrangian_interpolation_mm(
+                win, mats, params.dx
             )
 
         def windowed_add(field, win, start):
@@ -511,7 +525,7 @@ def _sparse_window_tools(flow_sim, params, wshape):
                 starts,
             )
 
-    return window_mats, slice_window, windowed_add
+    return window_mats, e2l_interp, windowed_add
 
 
 def build_rod_fsi_step(
@@ -615,12 +629,9 @@ def build_rod_fsi_step(
         return forces, torques, interaction.velocity_mismatch
 
     if sparse:
-        from sopht_mpi_tpu.ops.ibm import (
-            eulerian_to_lagrangian_interpolation_mm,
-        )
         from sopht_mpi_tpu.ops.virtual_boundary import compute_penalty_force
 
-        window_mats, slice_window, windowed_add = _sparse_window_tools(
+        window_mats, e2l_interp, windowed_add = _sparse_window_tools(
             flow_sim, params, (Wz, Wy, Wx)
         )
 
@@ -630,10 +641,7 @@ def build_rod_fsi_step(
             path (the other half of the large-marker-count cost)."""
             lagp = grid.lag_positions(rod_state)
             start, mats, ok = window_mats(lagp)
-            u_win = slice_window(velocity_field, start)
-            flow_velocity = eulerian_to_lagrangian_interpolation_mm(
-                u_win, mats, params.dx
-            )
+            flow_velocity = e2l_interp(velocity_field, start, mats)
             mismatch = flow_velocity - grid.lag_velocities(rod_state)
             lag_forcing = compute_penalty_force(
                 vb_state.position_mismatch, mismatch, params
@@ -710,9 +718,8 @@ def build_rod_fsi_step(
             # one-hot builds, small next to the windowed transfer itself)
             start, mats, window_ok = window_mats(lagp)
             window_ok = window_ok & substeps_ok
-            u_win = slice_window(flow_state.velocity_field, start)
-            flow_velocity = eulerian_to_lagrangian_interpolation_mm(
-                u_win, mats, params.dx
+            flow_velocity = e2l_interp(
+                flow_state.velocity_field, start, mats
             )
             velocity_mismatch = (
                 flow_velocity - grid.lag_velocities(rod_state)
@@ -966,10 +973,7 @@ def build_multi_body_fsi_step(
         )
     sparse = body_windows is not None
     if sparse:
-        from sopht_mpi_tpu.ops.ibm import (
-            eulerian_to_lagrangian_interpolation_mm,
-            lagrangian_to_eulerian_spread_mm,
-        )
+        from sopht_mpi_tpu.ops.ibm import lagrangian_to_eulerian_spread_mm
         from sopht_mpi_tpu.ops.stencils_3d import curl_3d
         from sopht_mpi_tpu.ops.virtual_boundary import compute_penalty_force
         from sopht_mpi_tpu.utils.logging_utils import logger
@@ -989,13 +993,10 @@ def build_multi_body_fsi_step(
         def windowed_interaction(i, vb, velocity_field, pos, vel):
             """Body i's penalty interaction through its moving window:
             (lag_forcing, velocity_mismatch, start, mats, ok)."""
-            window_mats, slice_window, _ = body_tools[i]
+            window_mats, e2l_interp, _ = body_tools[i]
             params_i = bodies[i].interactor.params
             start, mats, ok = window_mats(pos)
-            u_win = slice_window(velocity_field, start)
-            flow_velocity = eulerian_to_lagrangian_interpolation_mm(
-                u_win, mats, params_i.dx
-            )
+            flow_velocity = e2l_interp(velocity_field, start, mats)
             mismatch = flow_velocity - vel
             lag_forcing = compute_penalty_force(
                 vb.position_mismatch, mismatch, params_i

@@ -255,6 +255,89 @@ def _conv_z_local(f, greens, nz: int, use_pallas: bool, fast: bool = False):
     return jax.lax.complex(rr, ii).reshape(nz, *shp[1:])
 
 
+def _conv_z_local_batched(f, greens, nz: int, use_pallas: bool,
+                          fast: bool = False):
+    """``_conv_z_local`` over a LEADING component axis: the fused kernel's
+    (A, L, B) layout takes the components as the A blocks (one shared
+    greens copy across A - the kernel's grid iterates A innermost so the
+    greens block fetch amortizes over components, pallas_fft.py grid-order
+    note)."""
+    if not use_pallas:
+        from sopht_mpi_tpu.parallel.mxu_fft import fft_padded, ifft_truncated
+
+        return ifft_truncated(
+            fft_padded(f, 1, 2 * nz) * greens[None], 1, nz
+        )
+    from sopht_mpi_tpu.parallel.pallas_fft import fft_greens_ifft_pass
+
+    shp = f.shape
+    fr, fi = _split_reim(f.reshape(shp[0], shp[1], -1))
+    g = greens.astype(jnp.float32).reshape(1, greens.shape[0], -1)
+    rr, ii = fft_greens_ifft_pass(fr, fi, g, fast)
+    return jax.lax.complex(rr, ii).reshape(shp[0], nz, *shp[2:])
+
+
+def _a2a_c(f, name: str, split_axis: int, concat_axis: int,
+           compact: bool = False):
+    """``lax.all_to_all`` of a complex spectrum, optionally on a bf16
+    WIRE format: re/im round to bf16 and BIT-PACK into one uint32 per
+    complex element - HALF the transpose bytes of complex64 (VERDICT r04
+    next #1c, opt-in via the solvers' ``comm_bf16``). The packing is
+    explicit integer bit math, so no backend pass can widen the wire
+    dtype back (a plain ``.astype(bf16)`` pair gets hoisted across the
+    collective by XLA's convert-fusion and ships f32 anyway - observed on
+    the CPU SPMD pipeline). The local math stays float32; only the wire
+    payload rounds (measured solve rel err ~1e-3 class - a pod-scale
+    bytes/accuracy trade, OFF by default; the fast_spectral tier's 3-pass
+    bf16 MATMULS keep ~6.6e-6 because they split hi/lo, which a wire
+    format cannot without giving the bytes back)."""
+    if not compact:
+        return lax.all_to_all(
+            f, name, split_axis=split_axis, concat_axis=concat_axis,
+            tiled=True,
+        )
+    return _a2a_c_packed(f, name, split_axis, concat_axis)
+
+
+def _a2a_c_packed_impl(f, name: str, split_axis: int, concat_axis: int):
+    hi = lax.bitcast_convert_type(
+        jnp.real(f).astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    lo = lax.bitcast_convert_type(
+        jnp.imag(f).astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    w = lax.all_to_all(
+        (hi << 16) | lo, name, split_axis=split_axis,
+        concat_axis=concat_axis, tiled=True,
+    )
+    re = lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    im = lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return jax.lax.complex(re, im)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _a2a_c_packed(f, name: str, split_axis: int, concat_axis: int):
+    return _a2a_c_packed_impl(f, name, split_axis, concat_axis)
+
+
+def _a2a_c_packed_fwd(f, name, split_axis, concat_axis):
+    return _a2a_c_packed_impl(f, name, split_axis, concat_axis), None
+
+
+def _a2a_c_packed_bwd(name, split_axis, concat_axis, _, ct):
+    # the transpose of the (tiled) all_to_all swaps split/concat; the
+    # bf16 rounding is treated straight-through (its cotangent rides the
+    # same wire format - the knob is a lossy wire, not exact arithmetic)
+    return (_a2a_c_packed_impl(ct, name, concat_axis, split_axis),)
+
+
+_a2a_c_packed.defvjp(_a2a_c_packed_fwd, _a2a_c_packed_bwd)
+
+
 def _pipeline_chunks(axis_size: int, requested: int) -> int:
     """Largest divisor of ``axis_size`` that is <= ``requested`` (>= 1)."""
     g = max(1, min(requested, axis_size))
@@ -306,7 +389,7 @@ def realized_overlap_chunks(nz: int, ny: int, fxp: int, pz: int, py: int,
 def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
                      nx: int, fxp: int, pallas_y: bool = False,
                      pallas_z: bool = False, fast: bool = False,
-                     chunks: int = 1):
+                     chunks: int = 1, comm_bf16: bool = False):
     # Three pipelined segments, each chunked along an axis the segment's
     # all_to_all does not touch so every chunk is a valid independent
     # transpose + local pass. Segments are separated by real dataflow
@@ -317,8 +400,7 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
         c = jnp.fft.rfft(c, n=2 * nx, axis=2)  # (.., ny/py, nx+1)
         c = jnp.pad(c, ((0, 0), (0, 0), (0, fxp - c.shape[2])))
         if py > 1:
-            c = lax.all_to_all(c, "y", split_axis=2, concat_axis=1,
-                               tiled=True)
+            c = _a2a_c(c, "y", 2, 1, comm_bf16)
         return _fwd_y_local(c, 2 * ny, pallas_y)  # (.., 2ny, fxp/py)
 
     # realized chunk counts (never trade the fused Pallas conv kernel
@@ -328,14 +410,12 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
 
     def conv_stage(c, g_c):
         if pz > 1:
-            c = lax.all_to_all(c, "z", split_axis=1, concat_axis=0,
-                               tiled=True)
+            c = _a2a_c(c, "z", 1, 0, comm_bf16)
         # fused z-forward * greens -> z-inverse on the shard: the doubled
         # z-spectrum never hits shard HBM
         c = _conv_z_local(c, g_c, nz, pallas_z, fast)  # (nz, 2ny/pz, ..)
         if pz > 1:
-            c = lax.all_to_all(c, "z", split_axis=0, concat_axis=1,
-                               tiled=True)
+            c = _a2a_c(c, "z", 0, 1, comm_bf16)
         return c
 
     f = _chunked(f, 2, g2, conv_stage, aux=(greens,))
@@ -343,13 +423,66 @@ def _convolve3_local(field, greens, *, pz: int, py: int, nz: int, ny: int,
     def inv_stage(c):
         c = _inv_y_local(c, ny, pallas_y)  # (.., ny, fxp/py)
         if py > 1:
-            c = lax.all_to_all(c, "y", split_axis=1, concat_axis=2,
-                               tiled=True)
+            c = _a2a_c(c, "y", 1, 2, comm_bf16)
         c = c[:, :, : nx + 1]
         out = jnp.fft.irfft(c, n=2 * nx, axis=2)
         return jax.lax.slice_in_dim(out, 0, nx, axis=2)
 
     return _chunked(f, 0, g3, inv_stage)
+
+
+def _convolve3_local_batched(field, greens, *, pz: int, py: int, nz: int,
+                             ny: int, nx: int, fxp: int,
+                             pallas_y: bool = False, pallas_z: bool = False,
+                             fast: bool = False, chunks: int = 1,
+                             comm_bf16: bool = False):
+    """``_convolve3_local`` over a leading component axis (c, nzl, nyl,
+    nx): the components FOLD into each segment's batch rows, so every
+    all_to_all moves all c components in ONE collective launch (3x fewer
+    launches than per-component solves, same total bytes, deeper overlap
+    windows for the latency-hiding scheduler - VERDICT r04 next #1b). The
+    y segments fold c into the z-row batch axis; the conv segment rides
+    the fused kernel's A dimension with one shared greens copy."""
+    c = field.shape[0]
+    nzl = field.shape[1]  # nz / pz
+    g1, g2, g3 = realized_overlap_chunks(nz, ny, fxp, pz, py, pallas_z, chunks)
+
+    def fwd_stage(ch):
+        ch = jnp.fft.rfft(ch, n=2 * nx, axis=2)
+        ch = jnp.pad(ch, ((0, 0), (0, 0), (0, fxp - ch.shape[2])))
+        if py > 1:
+            ch = _a2a_c(ch, "y", 2, 1, comm_bf16)
+        return _fwd_y_local(ch, 2 * ny, pallas_y)
+
+    # chunk along the folded (c * nzl) row axis in multiples of c rows so
+    # chunk counts (and so the all-to-all count per segment) match the
+    # unbatched pipeline's realized g1/g3
+    f = _chunked(field.reshape(c * nzl, ny // py, nx), 0, g1, fwd_stage)
+    bxl = f.shape[2]  # fxp / py
+
+    def conv_stage(ch, g_c):
+        if pz > 1:
+            ch = _a2a_c(ch, "z", 2, 1, comm_bf16)
+        ch = _conv_z_local_batched(ch, g_c, nz, pallas_z, fast)
+        if pz > 1:
+            ch = _a2a_c(ch, "z", 1, 2, comm_bf16)
+        return ch
+
+    # chunk axis -1 = bxl for BOTH the 4D field view and the 3D greens aux
+    f = _chunked(
+        f.reshape(c, nzl, 2 * ny, bxl), -1, g2, conv_stage, aux=(greens,)
+    )
+
+    def inv_stage(ch):
+        ch = _inv_y_local(ch, ny, pallas_y)
+        if py > 1:
+            ch = _a2a_c(ch, "y", 1, 2, comm_bf16)
+        ch = ch[:, :, : nx + 1]
+        out = jnp.fft.irfft(ch, n=2 * nx, axis=2)
+        return jax.lax.slice_in_dim(out, 0, nx, axis=2)
+
+    out = _chunked(f.reshape(c * nzl, 2 * ny, bxl), 0, g3, inv_stage)
+    return out.reshape(c, nzl, ny // py, nx)
 
 
 #: default requested chunk count for the comm/compute software pipeline of
@@ -361,7 +494,8 @@ DEFAULT_OVERLAP_CHUNKS = 4
 def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
                                     force_pallas: bool | None = None,
                                     fast: bool = False,
-                                    overlap_chunks: int | None = None):
+                                    overlap_chunks: int | None = None,
+                                    comm_bf16: bool = False):
     """Spectral free-space convolution of a sharded N-domain ``rhs`` with a
     real doubled-domain Fourier multiplier ``greens`` (layout
     ``fourier_partition_spec``, i.e. the output of ``distributed_rfftn`` on
@@ -391,7 +525,9 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
     no-op on mesh axes of size 1, so single-chip behavior is untouched.
     The 2D path is transpose-light (slab grids a few hundred KB per
     shard) and is not chunked."""
-    grid_dim = rhs.ndim
+    batched = rhs.ndim == 4  # (c, nz, ny, nx): fold components into the
+    # transpose payloads - 3x fewer collective launches (VERDICT r04 #1b)
+    grid_dim = 3 if batched else rhs.ndim
     fxp = padded_rfft_size(2 * rhs.shape[-1], mesh, grid_dim)
     if grid_dim == 2:
         ny, nx = rhs.shape
@@ -400,7 +536,7 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
             ny=ny, nx=nx, fxp=fxp,
         )
     else:
-        nz, ny, nx = rhs.shape
+        nz, ny, nx = rhs.shape[-3:]
         pz, py = mesh.shape["z"], mesh.shape["y"]
         on_tpu = (
             jax.default_backend() == "tpu" and rhs.dtype == jnp.float32
@@ -437,16 +573,20 @@ def distributed_free_space_convolve(rhs, greens, mesh: Mesh,
                     stacklevel=2,
                 )
         fn = functools.partial(
-            _convolve3_local, pz=pz, py=py,
+            _convolve3_local_batched if batched else _convolve3_local,
+            pz=pz, py=py,
             nz=nz, ny=ny, nx=nx, fxp=fxp,
             pallas_y=pallas_y, pallas_z=pallas_z, fast=fast,
-            chunks=chunks,
+            chunks=chunks, comm_bf16=comm_bf16,
         )
+    spec = _grid_spec(grid_dim)
+    if batched:
+        spec = P(None, *spec)
     return shard_map(
         fn,
         mesh=mesh,
-        in_specs=(_grid_spec(grid_dim), fourier_partition_spec(grid_dim, mesh)),
-        out_specs=_grid_spec(grid_dim),
+        in_specs=(spec, fourier_partition_spec(grid_dim, mesh)),
+        out_specs=spec,
         # pallas_call inside the body cannot declare varying-mesh-axes
         # metadata on its out_shape; the specs above pin the layouts
         check_vma=False,

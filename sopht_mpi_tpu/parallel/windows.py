@@ -76,6 +76,65 @@ def gather_window_replicated(field, start_xyz, wshape, mesh):
     )(field, start_xyz)
 
 
+def windowed_e2l_mm_sharded(field, axis_mats, start_xyz, wshape, dx, mesh):
+    """Separable-matmul E->L interpolation against a (moving) window of a
+    SHARDED field WITHOUT materializing the window: each shard contracts
+    its overlap block of the field with correspondingly shifted (and
+    drop-masked) A-matrix column blocks, and ONE ``psum`` of the
+    ``(c, n_markers)`` result replaces the window-sized collective.
+
+    Bytes per call: ``c * n_markers`` floats instead of the
+    ``c * Wz * Wy * Wx`` window exchange - the 'shard-local window
+    accumulation' of VERDICT r04 next #1(a); at 256^3 / 4.6k markers that
+    is ~55 KB vs ~4.5 MB per touch. Exactness: every window cell belongs
+    to exactly one shard; each shard's block covers its whole overlap
+    (block start clipped so a min(W, local)-length block always contains
+    it) and block cells outside the window get zero A-weight.
+
+    ``axis_mats`` are the (n, W_axis) window-coordinate matrices from
+    ``axis_delta_weight_matrices`` (replicated); ``start_xyz`` the traced
+    (x, y, z) window start. Result matches
+    ``eulerian_to_lagrangian_interpolation_mm`` on the gathered window up
+    to float summation order."""
+    from sopht_mpi_tpu.ops.ibm import eulerian_to_lagrangian_interpolation_mm
+
+    wz, wy, wx = (int(w) for w in wshape)
+    az_name, ay_name = mesh_axis_names(3)[:2]
+
+    def local(fld, a_z, a_y, a_x, start):
+        c, nzl, nyl, nxl = fld.shape
+        z_off = lax.axis_index(az_name) * nzl
+        y_off = lax.axis_index(ay_name) * nyl
+        lz, ly, lx = min(wz, nzl), min(wy, nyl), min(wx, nxl)
+
+        def block_start(w0, length, n_local):
+            # local-coord block of static `length` covering the overlap
+            # [max(0, w0), min(n_local, w0 + W)): start at the overlap's
+            # first row, clipped so the block stays in bounds
+            return jnp.clip(jnp.maximum(w0, 0), 0, n_local - length)
+
+        sz = block_start(start[2] - z_off, lz, nzl)
+        sy = block_start(start[1] - y_off, ly, nyl)
+        sx = block_start(start[0], lx, nxl)
+        zero = jnp.zeros((), sz.dtype)
+        fblk = lax.dynamic_slice(fld, (zero, sz, sy, sx), (c, lz, ly, lx))
+        azb = _masked_axis_gather(a_z, 1, sz + z_off - start[2], lz)
+        ayb = _masked_axis_gather(a_y, 1, sy + y_off - start[1], ly)
+        axb = _masked_axis_gather(a_x, 1, sx - start[0], lx)
+        part = eulerian_to_lagrangian_interpolation_mm(
+            fblk, (azb, ayb, axb), dx
+        )
+        return lax.psum(part, (az_name, ay_name))
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, az_name, ay_name, None), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(field, *axis_mats, start_xyz)
+
+
 def add_window_into_field(field, window, start_xyz, mesh):
     """Add a replicated ``(c, Wz, Wy, Wx)`` window into a sharded 3D
     vector ``field`` at traced start ``start_xyz`` ((x, y, z) component

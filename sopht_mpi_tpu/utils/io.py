@@ -44,6 +44,11 @@ class FieldBinding:
     def get(self):
         return np.asarray(getattr(self.obj, self.attr))
 
+    def get_raw(self):
+        """The bound value WITHOUT the host copy - the sharded IO path
+        reads device shards directly (save_eulerian_sharded)."""
+        return getattr(self.obj, self.attr)
+
     def set(self, value):
         import jax.numpy as jnp
 
@@ -236,6 +241,142 @@ class FieldIO:
     def _disk_shape(self):
         gs = tuple(int(s) for s in self.eulerian_grid_size)
         return (1, *gs) if self.dim == 2 else gs
+
+    # -- sharded (scale-out) Eulerian dumps -----------------------------------
+    #
+    # FieldIO.save gathers the global field to one host before writing -
+    # fine on one chip, a serialization funnel for pod-scale dumps. The
+    # sharded mode is the TPU-native analogue of the reference's collective
+    # hyperslab writes (every MPI rank streams its local block,
+    # /root/reference/sopht_mpi/utils/mpi_io.py:291,310-336): every JAX
+    # PROCESS writes one file containing only the shards it addresses,
+    # streamed one shard at a time (a device->host copy of one block, never
+    # the global field), with each block's global hyperslab offsets stored
+    # alongside. Restart on the same mesh re-uploads each block straight to
+    # its device via jax.make_array_from_single_device_arrays.
+
+    def save_eulerian_sharded(self, h5_file_name: str, time=0.0):
+        """Per-shard Eulerian dump; writes ``<h5_file_name>.proc<r>.h5``
+        for this process (process 0 also records grid parameters). Only
+        Eulerian fields participate (Lagrangian state is marker-sized and
+        replicated - use :meth:`save` for it)."""
+        import jax
+
+        rank = jax.process_index()
+        fname = f"{h5_file_name}.proc{rank}.h5"
+        with h5py.File(fname, "w") as f:
+            f.attrs["time"] = time
+            f.attrs["process"] = rank
+            f.attrs["n_processes"] = jax.process_count()
+            if rank == 0:
+                pgrp = f.create_group("Parameters")
+                pgrp.attrs["origin"] = self.eulerian_origin
+                pgrp.attrs["dx"] = self.eulerian_dx
+                pgrp.attrs["grid_size"] = self.eulerian_grid_size
+            for name, binding in self.eulerian_fields.items():
+                # raw device array (no host gather); plain numpy bindings
+                # degrade to one process-0 block covering the whole field
+                arr = getattr(binding, "get_raw", binding.get)()
+                grp = f.create_group(name)
+                grp.attrs["ftype"] = self.eulerian_fields_type[name]
+                grp.attrs["global_shape"] = np.asarray(arr.shape, np.int64)
+                if not hasattr(arr, "addressable_shards"):
+                    d = grp.create_dataset(
+                        "shard_d0", data=np.asarray(arr, self.real_dtype)
+                    )
+                    d.attrs["start"] = np.zeros(arr.ndim, np.int64)
+                    continue
+                for sh in arr.addressable_shards:
+                    # one device->host copy of ONE block; the global field
+                    # never materializes on the host
+                    block = np.asarray(sh.data, dtype=self.real_dtype)
+                    d = grp.create_dataset(f"shard_d{sh.device.id}",
+                                           data=block)
+                    d.attrs["start"] = np.asarray(
+                        [s.start or 0 for s in sh.index], np.int64
+                    )
+
+    def load_eulerian_sharded(self, h5_file_name: str):
+        """Restore from :meth:`save_eulerian_sharded` files; every block
+        re-uploads straight to the device that addresses it under each
+        binding's CURRENT sharding (same-mesh restart - the layout the
+        blocks were written in). Validates grid parameters; returns the
+        saved time."""
+        import glob
+
+        import jax
+
+        files = sorted(glob.glob(f"{h5_file_name}.proc*.h5"))
+        if not files:
+            raise FileNotFoundError(f"{h5_file_name}.proc*.h5")
+        # read every block's (start -> array) map per field
+        blocks: dict[str, dict[tuple, np.ndarray]] = {}
+        time = None
+        for path in files:
+            with h5py.File(path, "r") as f:
+                if "Parameters" in f:
+                    time = f.attrs["time"]
+                    np.testing.assert_allclose(
+                        self.eulerian_origin, f["Parameters"].attrs["origin"]
+                    )
+                    np.testing.assert_allclose(
+                        self.eulerian_dx, f["Parameters"].attrs["dx"]
+                    )
+                    np.testing.assert_allclose(
+                        self.eulerian_grid_size,
+                        f["Parameters"].attrs["grid_size"],
+                    )
+                for name in self.eulerian_fields:
+                    if name not in f:
+                        continue
+                    grp = f[name]
+                    for key in grp:
+                        d = grp[key]
+                        blocks.setdefault(name, {})[
+                            tuple(int(s) for s in d.attrs["start"])
+                        ] = np.asarray(d)
+        assert time is not None, "no Parameters group in any shard file"
+        for name, binding in self.eulerian_fields.items():
+            current = getattr(binding, "get_raw", binding.get)()
+            sharding = getattr(current, "sharding", None)
+            field_blocks = blocks[name]
+            if sharding is None or not hasattr(
+                sharding, "addressable_devices"
+            ):
+                # unsharded binding: assemble on host
+                out = np.zeros(current.shape, self.real_dtype)
+                for start, blk in field_blocks.items():
+                    sl = tuple(
+                        slice(s, s + n) for s, n in zip(start, blk.shape)
+                    )
+                    out[sl] = blk
+                binding.set(out.astype(current.dtype))
+                self.loaded_fields[name] = out
+                continue
+            import jax as _jax
+
+            dev_map = sharding.addressable_devices_indices_map(current.shape)
+            parts = []
+            for dev, idx in dev_map.items():
+                start = tuple(int(s.start or 0) for s in idx)
+                if start not in field_blocks:
+                    raise ValueError(
+                        f"sharded restart of '{name}': no stored block at "
+                        f"offsets {start} - the files were written under a "
+                        "different mesh/layout (reload via the gathered "
+                        "FieldIO.save/load path instead)"
+                    )
+                parts.append(
+                    _jax.device_put(
+                        field_blocks[start].astype(current.dtype), dev
+                    )
+                )
+            arr = _jax.make_array_from_single_device_arrays(
+                current.shape, sharding, parts
+            )
+            binding.set(arr)
+            self.loaded_fields[name] = arr
+        return time
 
     # -- load ---------------------------------------------------------------
 

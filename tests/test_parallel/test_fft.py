@@ -2,6 +2,7 @@
 tests/test_numeric/.../test_fft_mpi_2d.py plays against scipy.fft)."""
 
 import functools
+import re
 
 import jax
 import jax.numpy as jnp
@@ -278,3 +279,125 @@ def test_overlap_chunks_validation_and_degradation_warning():
         warnings.simplefilter("always")
         distributed_free_space_convolve(r, g, mesh, overlap_chunks=2)
     assert not any("realized as" in str(x.message) for x in w)
+
+
+def test_batched_vector_convolve_matches_and_cuts_launches():
+    """Round 5 (VERDICT r04 #1b): a (3, nz, ny, nx) rhs runs the BATCHED
+    pipeline - bit-equal to three per-component convolves, with the
+    components folded into each all_to_all (3x fewer collective launches,
+    same bytes)."""
+    from sopht_mpi_tpu.parallel.fft import (
+        distributed_free_space_convolve,
+        distributed_rfftn,
+    )
+    from sopht_mpi_tpu.parallel.mesh import (
+        create_mesh,
+        shard_scalar_field,
+        shard_vector_field,
+    )
+
+    rng = np.random.default_rng(3)
+    grid = (16, 24, 40)
+    rhs = jnp.asarray(rng.standard_normal((3,) + grid), jnp.float32)
+    kernel = jnp.asarray(
+        rng.standard_normal(tuple(2 * s for s in grid)), jnp.float32
+    )
+    for mesh_shape in [(4, 2), (8, 1), (1, 8)]:
+        mesh = create_mesh(3, mesh_shape)
+        g = jnp.real(
+            distributed_rfftn(shard_scalar_field(kernel, mesh), mesh)
+        )
+        rv = shard_vector_field(rhs, mesh)
+        ref = np.stack(
+            [
+                np.asarray(
+                    distributed_free_space_convolve(
+                        shard_scalar_field(rhs[c], mesh), g, mesh
+                    )
+                )
+                for c in range(3)
+            ]
+        )
+        out = np.asarray(distributed_free_space_convolve(rv, g, mesh))
+        np.testing.assert_array_equal(out, ref, err_msg=str(mesh_shape))
+        hlo_b = (
+            jax.jit(lambda r, gg: distributed_free_space_convolve(r, gg, mesh))
+            .lower(rv, g).compile().as_text()
+        )
+        hlo_s = (
+            jax.jit(
+                lambda r, gg: jnp.stack(
+                    [
+                        distributed_free_space_convolve(r[c], gg, mesh)
+                        for c in range(3)
+                    ]
+                )
+            )
+            .lower(rv, g).compile().as_text()
+        )
+        n_b = hlo_b.count(" all-to-all")
+        n_s = hlo_s.count(" all-to-all")
+        assert n_b * 3 == n_s, (mesh_shape, n_b, n_s)
+        # gradients flow through the batched pipeline
+        gr = jax.jit(
+            jax.grad(
+                lambda r, gg: jnp.sum(
+                    distributed_free_space_convolve(r, gg, mesh) ** 2
+                )
+            )
+        )(rv, g)
+        assert bool(jnp.all(jnp.isfinite(gr)))
+
+
+def test_comm_bf16_halves_transpose_bytes_within_error_budget():
+    """Round 5 (VERDICT r04 #1c): the opt-in bf16 WIRE format halves the
+    all_to_all payload bytes (HLO-pinned: every spectral transpose
+    carries the packed u32 wire - 4 bytes/complex element vs 8; the
+    packing is integer bit math precisely so backend convert-fusion
+    cannot widen it back, which it DOES to a plain bf16 astype pair) at a
+    bounded accuracy cost (~1e-3 class vs the f32-wire result)."""
+    from sopht_mpi_tpu.parallel.fft import (
+        distributed_free_space_convolve,
+        distributed_rfftn,
+    )
+    from sopht_mpi_tpu.parallel.mesh import create_mesh, shard_scalar_field
+
+    rng = np.random.default_rng(9)
+    grid = (16, 16, 16)
+    rhs = jnp.asarray(rng.standard_normal(grid), jnp.float32)
+    kernel = jnp.asarray(
+        rng.standard_normal(tuple(2 * s for s in grid)), jnp.float32
+    )
+    mesh = create_mesh(3, (4, 2))
+    g = jnp.real(distributed_rfftn(shard_scalar_field(kernel, mesh), mesh))
+    r = shard_scalar_field(rhs, mesh)
+    ref = np.asarray(distributed_free_space_convolve(r, g, mesh))
+    out = np.asarray(
+        distributed_free_space_convolve(r, g, mesh, comm_bf16=True)
+    )
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert 0 < rel < 5e-3, rel  # bf16 wire rounds; must stay 1e-3 class
+    hlo = (
+        jax.jit(
+            lambda rr, gg: distributed_free_space_convolve(
+                rr, gg, mesh, comm_bf16=True
+            )
+        )
+        .lower(r, g).compile().as_text()
+    )
+    a2a_lines = [ln for ln in hlo.splitlines() if "all-to-all(" in ln]
+    assert a2a_lines and all(
+        "u32[" in ln or "s32[" in ln for ln in a2a_lines
+    ), "every spectral transpose must ride the packed 4-byte wire format"
+    # gradients flow (straight-through custom VJP over the lossy wire)
+    gr = jax.jit(
+        jax.grad(
+            lambda rr, gg: jnp.sum(
+                distributed_free_space_convolve(
+                    rr, gg, mesh, comm_bf16=True
+                )
+                ** 2
+            )
+        )
+    )(r, g)
+    assert bool(jnp.all(jnp.isfinite(gr)))

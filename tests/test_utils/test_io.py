@@ -333,3 +333,62 @@ def test_xdmf_sidecars_reference_h5_and_dims(tmp_path):
     assert "3DCORECTMesh" in eul and "ORIGIN_DXDYDZ" in eul
     lag = (tmp_path / "viz_markers.xmf").read_text()
     assert "viz.h5" in lag and "7" in lag
+
+
+def test_eulerian_sharded_save_load_roundtrip(tmp_path, precision):
+    """Round 5 (VERDICT r04 next #7): the scale-out per-shard Eulerian
+    dump - every process writes only the shards it addresses, streamed
+    block-by-block (no global host gather) - round-trips on a (4, 2)
+    virtual mesh, re-uploading each block straight to its device, and
+    refuses a layout-mismatched restart loudly."""
+    import jax
+    import pytest as _pytest
+
+    from sopht_mpi_tpu.parallel import (
+        create_mesh,
+        shard_scalar_field,
+        shard_vector_field,
+    )
+
+    real_t = get_real_t(precision)
+    rng = np.random.default_rng(7)
+    grid_size = (8, 8, 16)
+    mesh = create_mesh(3, (4, 2))
+    holder = Holder()
+    holder.scalar = shard_scalar_field(
+        jnp.asarray(rng.standard_normal(grid_size), real_t), mesh
+    )
+    holder.vector = shard_vector_field(
+        jnp.asarray(rng.standard_normal((3, *grid_size)), real_t), mesh
+    )
+    io = FieldIO(dim=3, real_dtype=real_t)
+    io.define_eulerian_grid(
+        origin=np.zeros(3), dx=np.full(3, 0.1), grid_size=np.array(grid_size)
+    )
+    io.add_as_eulerian_fields_for_io(
+        scalar=FieldBinding(holder, "scalar"),
+        vector=FieldBinding(holder, "vector"),
+    )
+    base = str(tmp_path / "flow_sharded")
+    io.save_eulerian_sharded(base, time=2.5)
+    assert os.path.exists(base + ".proc0.h5")
+
+    saved_scalar = np.asarray(holder.scalar).copy()
+    saved_vector = np.asarray(holder.vector).copy()
+    holder.scalar = shard_scalar_field(jnp.zeros(grid_size, real_t), mesh)
+    holder.vector = shard_vector_field(jnp.zeros((3, *grid_size), real_t), mesh)
+    time = io.load_eulerian_sharded(base)
+    assert time == pytest.approx(2.5)
+    np.testing.assert_allclose(np.asarray(holder.scalar), saved_scalar)
+    np.testing.assert_allclose(np.asarray(holder.vector), saved_vector)
+    # restored arrays keep their mesh shardings (no host re-shard)
+    assert holder.scalar.sharding.device_set == set(mesh.devices.flat)
+
+    # a different-layout restart must fail loudly, not mis-assemble
+    other = create_mesh(3, (8, 1))
+    holder.scalar = shard_scalar_field(jnp.zeros(grid_size, real_t), other)
+    holder.vector = shard_vector_field(
+        jnp.zeros((3, *grid_size), real_t), other
+    )
+    with _pytest.raises(ValueError, match="different mesh/layout"):
+        io.load_eulerian_sharded(base)
