@@ -122,7 +122,15 @@ def main():
 
     grid_size = _case_grid(CASE, GRID)
     if CASE == "rod":
-        fsi_step, (carry,) = _build_rod_bench_case(grid_size=grid_size)
+        # BENCH_ROD_REFRESH=flow_step measures the opt-in frozen-loads
+        # approximation arm (see build_rod_fsi_step); default = the
+        # reference's per-substep-refresh semantics
+        fsi_step, (carry,) = _build_rod_bench_case(
+            grid_size=grid_size,
+            substep_load_refresh=os.environ.get(
+                "BENCH_ROD_REFRESH", "every"
+            ),
+        )
     elif CASE == "multibody":
         fsi_step, (carry,) = _build_multibody_bench_case(grid_size=grid_size)
     elif CASE == "sphere":

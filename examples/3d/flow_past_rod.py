@@ -200,24 +200,25 @@ def flow_past_rod_case(
         # True = require it; False = dense reference-shaped path.
         from sopht_mpi_tpu.models import suggest_rod_forcing_window
 
+        # round 5: the sparse window also runs under a mesh (window work
+        # replicated per chip, sharded-grid touches via parallel.windows)
         sparse_window = None
-        if sparse_forcing is not False and mesh is None:
+        if sparse_forcing is not False:
             sparse_window = suggest_rod_forcing_window(
                 cosserat_rod_flow_interactor, flow_past_rod, grid_size
             )
             if sparse_window is None:
-                logger.warning(
+                msg = (
                     "sparse forcing window would cover most of the grid "
                     "(rod reach ~ domain size); keeping the dense path"
                 )
+                if sparse_forcing is True:
+                    raise ValueError(msg)
+                logger.warning(msg)
             else:
                 logger.info(
                     f"sparse forcing window (Wz, Wy, Wx): {sparse_window}"
                 )
-        elif sparse_forcing is True:
-            raise ValueError(
-                "sparse_forcing=True needs the fused 3D unsharded path"
-            )
         def build_step(win):
             return build_rod_fsi_step(
                 flow_sim,

@@ -62,6 +62,12 @@ class RodFSICarry(NamedTuple):
     time: jax.Array
     greens: jax.Array = None  # see RigidFSICarry.greens
     velocity_l1_max: jax.Array = None  # see RigidFSICarry
+    # substep_load_refresh="flow_step" (opt-in approximation): (forces,
+    # torques, velocity_mismatch) of the LAST full interaction, applied
+    # frozen through the next step's rod substeps. None when the default
+    # per-substep refresh (the reference's semantics) is on - None is an
+    # empty pytree subtree, so existing carries keep their structure.
+    frozen_loads: tuple | None = None
 
 
 def velocity_l1_max(velocity_field):
@@ -539,14 +545,34 @@ def build_rod_fsi_step(
     rod_dt: float | None = None,
     max_rod_substeps: int | None = None,
     sparse_forcing_window: tuple[int, int, int] | None = None,
+    substep_load_refresh: str = "every",
 ):
     """One fused coupled step for a two-way coupled Cosserat rod.
 
     Mirrors the reference loop (flow_past_rod.py:276-300): per flow step,
-    the rod takes position-Verlet substeps, each refreshing the penalty
-    flow forces from the frozen flow velocity and integrating the IBM
-    position mismatch; then the summed Lagrangian forcing is spread onto
-    the Eulerian forcing field and the flow advances.
+    the rod takes position-Verlet substeps; then the full penalty
+    interaction runs, the summed Lagrangian forcing is spread onto the
+    Eulerian forcing field (or its windowed curl adds straight into the
+    vorticity on the sparse path) and the flow advances.
+
+    ``substep_load_refresh`` controls what the SUBSTEPS see:
+
+    - ``"every"`` (default, the REFERENCE's semantics): each substep
+      recomputes the penalty flow loads at the current rod state from
+      the frozen flow velocity - the reference's ``FlowForces`` calls
+      ``compute_flow_forces_and_torques`` (a full
+      ``compute_interaction_on_lag_grid``) inside every PyElastica
+      substep (immersed_body_flow_interaction_mpi.py:168-175); every
+      parity oracle in tests/ pins this mode bit-exactly;
+    - ``"flow_step"`` (opt-in APPROXIMATION, NOT the reference's
+      semantics): the substeps apply the loads of the last full
+      interaction, frozen - an O(flow_dt) lag in the forcing term, in
+      exchange for removing the O(substeps) per-step marker work
+      (~19 substeps/flow step at the (256, 64, 256) rod benchmark; under
+      a mesh it also removes the O(substeps) per-step psums). Validate
+      the observable you care about before adopting it; pair with
+      ``init_rod_fsi_carry(..., step=step)`` so the carry gains the
+      zero-initialized frozen-loads leaves.
 
     Substep control, two modes:
 
@@ -580,6 +606,12 @@ def build_rod_fsi_step(
     fit the window (forcing then clipped - enlarge the window). Check it
     at scan-window boundaries.
     """
+    if substep_load_refresh not in ("every", "flow_step"):
+        raise ValueError(
+            "substep_load_refresh must be 'every' or 'flow_step', got "
+            f"{substep_load_refresh!r}"
+        )
+    frozen_mode = substep_load_refresh == "flow_step"
     dynamic = rod_substeps is None
     if dynamic and rod_dt is None:
         raise ValueError(
@@ -650,7 +682,14 @@ def build_rod_fsi_step(
             return forces, torques, mismatch, ok
 
     def step(carry: RodFSICarry):
-        flow_state, vb_state, rod_state, time, greens, u_l1 = carry
+        (flow_state, vb_state, rod_state, time, greens, u_l1,
+         frozen) = carry
+        if frozen_mode and frozen is None:
+            raise ValueError(
+                "substep_load_refresh='flow_step' needs the frozen-loads "
+                "carry leaves - build the carry with init_rod_fsi_carry("
+                "flow_sim, interactor, rod, step) passing THIS step"
+            )
         dt = flow_dt(u_l1)
         real_t = flow_state.velocity_field.dtype
         if dynamic:
@@ -672,7 +711,11 @@ def build_rod_fsi_step(
         def substep(c, i):
             def active(c):
                 rod_state, vb_state, t, ok = c
-                if sparse:
+                if frozen_mode:
+                    # opt-in approximation: substeps apply the LAST full
+                    # interaction's loads, frozen (O(flow_dt) forcing lag)
+                    forces, torques, mismatch = frozen
+                elif sparse:
                     forces, torques, mismatch, sub_ok = (
                         rod_flow_loads_windowed(
                             rod_state, vb_state, flow_state.velocity_field
@@ -727,6 +770,9 @@ def build_rod_fsi_step(
             lag_forcing = compute_penalty_force(
                 vb_state.position_mismatch, velocity_mismatch, params
             )
+            if frozen_mode:
+                nf, nt = grid.body_loads(rod_state, lag_forcing)
+                frozen = (nf, nt, velocity_mismatch)
             win = jnp.zeros((3, Wz, Wy, Wx), real_t)
             win = lagrangian_to_eulerian_spread_mm(win, lag_forcing, mats)
             curl_win = curl_3d(win, jnp.asarray(dt / (2.0 * params.dx), real_t))
@@ -746,6 +792,9 @@ def build_rod_fsi_step(
                 reset_eul_grid_forcing_field=True,
             )
             lag_forcing = interaction.lag_forcing
+            if frozen_mode:
+                nf, nt = grid.body_loads(rod_state, lag_forcing)
+                frozen = (nf, nt, interaction.velocity_mismatch)
             flow_state = flow_state._replace(
                 eul_grid_forcing_field=eul_forcing
             )
@@ -762,10 +811,29 @@ def build_rod_fsi_step(
             RodFSICarry(
                 flow_state, vb_state, rod_state, time + dt, greens,
                 new_l1 if new_l1 is not None else u_l1,
+                frozen if frozen_mode else None,
             ),
             (lag_force_sum, window_ok) if sparse else lag_force_sum,
         )
 
+    step.uses_frozen_loads = frozen_mode
+    if frozen_mode:
+        def _frozen_loads_template(rod_state, vb_state, velocity_field):
+            # exactly the shapes/dtypes the step's final interaction
+            # stores as frozen loads (init_rod_fsi_carry eval_shapes this
+            # to build the zero-initialized leaves - the reference's
+            # FlowForces start at zero)
+            if sparse:
+                f, t, m, _ = rod_flow_loads_windowed(
+                    rod_state, vb_state, velocity_field
+                )
+            else:
+                f, t, m = rod_flow_loads(
+                    rod_state, vb_state, velocity_field
+                )
+            return f, t, m
+
+        step._frozen_loads_template = _frozen_loads_template
     return step
 
 
@@ -1279,7 +1347,20 @@ def suggest_rigid_forcing_window(
     return win
 
 
-def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:
+def init_rod_fsi_carry(flow_sim, interactor, rod, step=None) -> RodFSICarry:
+    """Initial carry for :func:`build_rod_fsi_step`. Pass the built
+    ``step`` when it uses ``substep_load_refresh='flow_step'``: the carry
+    then gains zero-initialized frozen-loads leaves (the reference's
+    FlowForces start at zero before the first interaction)."""
+    frozen = None
+    if getattr(step, "uses_frozen_loads", False):
+        tmpl = jax.eval_shape(
+            step._frozen_loads_template,
+            rod.state, interactor.state, flow_sim.velocity_field,
+        )
+        frozen = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), tmpl
+        )
     carry = RodFSICarry(
         flow_state=flow_sim._get_state(),
         vb_state=interactor.state,
@@ -1287,6 +1368,7 @@ def init_rod_fsi_carry(flow_sim, interactor, rod) -> RodFSICarry:
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
         velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
+        frozen_loads=frozen,
     )
     return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 

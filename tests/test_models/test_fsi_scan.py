@@ -1185,3 +1185,80 @@ def test_multi_body_sparse_carry_drops_forcing_field():
     assert bool(jnp.all(ok))
     assert bool(jnp.isfinite(carry.flow_state.primary_field).all())
     assert np.abs(np.asarray(sums[1])).max() > 0
+
+
+def test_rod_substep_load_refresh_modes():
+    """Round 5: substep_load_refresh='flow_step' (opt-in approximation -
+    frozen loads through the substeps, an O(flow_dt) forcing lag; NOT the
+    reference's per-substep-refresh semantics, which stays the default)
+    runs finite, needs the step-aware carry, stays sparse==dense at
+    machine epsilon, and genuinely differs from 'every'."""
+    def run(mode, sparse):
+        from sopht_mpi_tpu.models import suggest_rod_forcing_window
+
+        # reuse the 3D rod case builder but override the refresh mode
+        from sopht_mpi_tpu.models import (
+            CosseratRodSurfaceForcingGrid,
+            UnboundedFlowSimulator3D,
+        )
+
+        flow_sim = UnboundedFlowSimulator3D(
+            grid_size=(32, 32, 32), x_range=1.0, kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True, real_t=jnp.float64,
+        )
+        flow_sim.velocity_field = flow_sim.velocity_field + 1.0
+        rod = CosseratRod.straight_rod(
+            6, np.array([0.5, 0.4, 0.5]), np.array([0.0, 1.0, 0.0]),
+            np.array([0.0, 0.0, 1.0]), base_length=0.25, base_radius=0.02,
+            density=1e3, youngs_modulus=1e5, shear_modulus=1e5 / 1.5,
+        )
+        col = BaseSystemCollection()
+        col.append(rod)
+        col.constrain(rod).using(
+            OneEndFixedBC, constrained_position_idx=(0,),
+            constrained_director_idx=(0,),
+        )
+        col.finalize()
+        inter = CosseratRodFlowInteraction(
+            flow_sim=flow_sim, cosserat_rod=rod,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+            forcing_grid_cls=CosseratRodSurfaceForcingGrid,
+            surface_grid_density_for_largest_element=4,
+        )
+        win = (
+            suggest_rod_forcing_window(inter, rod, flow_sim.grid_size)
+            if sparse else None
+        )
+        step = build_rod_fsi_step(
+            flow_sim, inter, col, rod_substeps=2, dt_prefac=0.5,
+            free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
+            sparse_forcing_window=win, substep_load_refresh=mode,
+        )
+        if mode == "flow_step":
+            # the frozen carry leaves are required - loud error without
+            with pytest.raises(ValueError, match="frozen-loads"):
+                scan_steps(
+                    step, init_rod_fsi_carry(flow_sim, inter, rod), 1
+                )
+        carry = init_rod_fsi_carry(flow_sim, inter, rod, step)
+        carry, diag = scan_steps(step, carry, 4)
+        if sparse:
+            assert bool(jnp.all(diag[1]))
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.rod_state.position[:, -1]),
+        )
+
+    w_e, tip_e = run("every", False)
+    w_fd, tip_fd = run("flow_step", False)
+    w_fs, tip_fs = run("flow_step", True)
+    assert np.isfinite(w_fd).all() and np.isfinite(w_fs).all()
+    # frozen sparse == frozen dense (machine epsilon, f64)
+    np.testing.assert_allclose(w_fs, w_fd, atol=1e-13)
+    np.testing.assert_allclose(tip_fs, tip_fd, atol=1e-14)
+    # and it is a DIFFERENT scheme than the default
+    assert np.abs(w_fd - w_e).max() > 0
+    with pytest.raises(ValueError, match="substep_load_refresh"):
+        run("sometimes", False)
