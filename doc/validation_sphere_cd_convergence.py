@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.join(REPO, "examples", "3d"))
 
 
 def cd_at(times, cds, tq):
+    times, cds = np.asarray(times), np.asarray(cds)
     assert times.max() >= tq, (times.max(), tq)
     return float(np.interp(tq, times, cds))
 
@@ -43,7 +44,7 @@ def main():
     )
     np.savetxt(
         os.path.join(REPO, "doc", "validation_sphere_re100_drag_64.csv"),
-        np.c_[t64, cd64],
+        np.c_[np.asarray(t64), np.asarray(cd64)],
         delimiter=",",
         header="nondim time, drag coeff (64^3 fused case, one v5e chip)",
     )
