@@ -132,7 +132,12 @@ def main():
             ),
         )
     elif CASE == "multibody":
-        fsi_step, (carry,) = _build_multibody_bench_case(grid_size=grid_size)
+        fsi_step, (carry,) = _build_multibody_bench_case(
+            grid_size=grid_size,
+            substep_load_refresh=os.environ.get(
+                "BENCH_ROD_REFRESH", "every"
+            ),
+        )
     elif CASE == "sphere":
         fsi_step, (carry,) = _build_fsi_case(grid_size=grid_size)
     else:

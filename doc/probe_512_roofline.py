@@ -77,67 +77,83 @@ def main():
         print(
             f"{label:<34s} {seconds * 1e3:8.2f} ms  "
             f"{moved_bytes / gb:7.2f} GB  {gbps:6.1f} GB/s  "
-            f"{100 * gbps / HBM_FLOOR_GBPS:5.1f}% of floor  {note}"
+            f"{100 * gbps / HBM_FLOOR_GBPS:5.1f}% of floor  {note}",
+            flush=True,
         )
 
-    # -- x edge pair: r2c split + c2r merge (shape-preserving chain) ------
-    x_in = jax.random.normal(key, (N * N * N // N, N), f32)  # (N^2, N) rows
-    # measure at the real row count (c x nz x ny = N^2 per component)
-    x_in = jax.random.normal(key, (N * N, N), f32)
-
-    def x_pair(v):
-        fr, fi, sr, si = rfft_pass_padded_split(v, mx)
-        return irfft_pass_merge(fr, fi, sr, si, mx, N)
-
-    b = nbytes(x_in) * 2 + (2 * N * N * bx + 2 * N * N) * 4 * 2
-    row("x r2c+c2r edge pair", measure_op_time(x_pair, x_in, iters=5,
-        repeats=3), b, "per component")
-
-    # -- y mid pair: padded fwd + truncated inv ---------------------------
-    yp = (
-        jax.random.normal(key, (N, N, bx), f32),
-        jax.random.normal(key, (N, N, bx), f32),
-    )
-
-    def y_pair(p):
-        fr, fi = fft_pass_padded(p[0], p[1], my)
-        return ifft_pass_truncated(fr, fi)
-
-    b = nbytes(*yp) * 2 + 2 * (N * my * bx) * 4 * 2
-    row("y fwd+inv mid pair", measure_op_time(y_pair, yp, iters=5,
-        repeats=3), b, "per component")
-
-    # -- z conv pass (fused fwd*greens*inv; shape-preserving) -------------
+    # greens FIRST (the build transients need max HBM headroom), then the
+    # passes in decreasing-footprint order, freeing between measurements
     print("building 512^3 greens (device)...", flush=True)
     solver = poisson_mod.UnboundedPoissonSolver3D(N, N, N, x_range=1.0,
                                                   real_t=f32)
-    g_bulk, g_side = poisson_mod.split_pallas_greens(
-        solver.fourier_greens_times_dx_pow_dim
-    ) if not isinstance(
-        solver.fourier_greens_times_dx_pow_dim, tuple
-    ) else solver.fourier_greens_times_dx_pow_dim
-    zp = (
-        jax.random.normal(key, (1, N, my * bx), f32),
-        jax.random.normal(key, (1, N, my * bx), f32),
-        g_bulk.reshape(1, mz, my * bx),
+    greens = solver.fourier_greens_times_dx_pow_dim
+    g_bulk = (
+        greens[0]
+        if isinstance(greens, tuple)
+        else poisson_mod.split_pallas_greens(greens)[0]
     )
 
-    def z_conv(p):
-        fr, fi = fft_greens_ifft_pass(p[0], p[1], p[2], True)
-        return fr, fi, p[2]
+    # -- z conv pass (fused fwd*greens*inv; shape-preserving) -------------
+    def z_arm():
+        zp = (
+            jax.random.normal(key, (1, N, my * bx), f32),
+            jax.random.normal(key, (1, N, my * bx), f32),
+            g_bulk.reshape(1, mz, my * bx),
+        )
 
-    b = 2 * (N * my * bx) * 4 * 2 + (mz * my * bx) * 4
-    row("z conv fused pass (fast tier)", measure_op_time(z_conv, zp,
-        iters=3, repeats=3), b,
-        "per component; MXU-bound by design (see note)")
+        def z_conv(p):
+            fr, fi = fft_greens_ifft_pass(p[0], p[1], p[2], True)
+            return fr, fi, p[2]
 
-    # -- stencil passes at 512^3 ------------------------------------------
+        b = 2 * (N * my * bx) * 4 * 2 + (mz * my * bx) * 4
+        row("z conv fused pass (fast tier)",
+            measure_op_time(z_conv, zp, iters=3, repeats=3), b,
+            "per component; MXU-bound by design")
+
+    z_arm()
+
+    # -- y mid pair: padded fwd + truncated inv ---------------------------
+    def y_arm():
+        yp = (
+            jax.random.normal(key, (N, N, bx), f32),
+            jax.random.normal(key, (N, N, bx), f32),
+        )
+
+        def y_pair(p):
+            fr, fi = fft_pass_padded(p[0], p[1], my)
+            return ifft_pass_truncated(fr, fi)
+
+        b = 2 * (N * N * bx) * 4 * 2 + 2 * (N * my * bx) * 4 * 2
+        row("y fwd+inv mid pair",
+            measure_op_time(y_pair, yp, iters=5, repeats=3), b,
+            "per component")
+
+    y_arm()
+
+    # -- x edge pair: r2c split + c2r merge (shape-preserving chain) ------
+    def x_arm():
+        x_in = jax.random.normal(key, (N * N, N), f32)
+
+        def x_pair(v):
+            fr, fi, sr, si = rfft_pass_padded_split(v, mx)
+            return irfft_pass_merge(fr, fi, sr, si, mx, N)
+
+        b = (N * N * N) * 4 * 2 + (2 * N * N * bx + 2 * N * N) * 4 * 2
+        row("x r2c+c2r edge pair",
+            measure_op_time(x_pair, x_in, iters=5, repeats=3), b,
+            "per component")
+
+    x_arm()
+
+    # -- stencil passes at 512^3 (drop the greens ref first) --------------
+    dx_val = solver.dx
+    del solver, greens, g_bulk
     w = jax.random.normal(key, (3, N, N, N), f32)
     fsv = jnp.asarray([1.0, 0.0, 0.0], f32)
-    b3 = nbytes(w)  # one vector field
+    b3 = 4 * 3 * N * N * N  # one vector field
 
     row("curl (+fsv,+l1max)", measure_op_time(
-        lambda x: curl_3d_pallas(x, 0.5 / solver.dx, add_vector=fsv,
+        lambda x: curl_3d_pallas(x, 0.5 / dx_val, add_vector=fsv,
                                  compute_l1_max=True)[0],
         w, iters=5, repeats=3), 2 * b3)
     row("rotational transport", measure_op_time(

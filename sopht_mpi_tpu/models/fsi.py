@@ -876,6 +876,11 @@ class MultiBodyFSICarry(NamedTuple):
     time: jax.Array
     greens: jax.Array = None  # see RigidFSICarry.greens
     velocity_l1_max: jax.Array = None  # see RigidFSICarry
+    # substep_load_refresh="flow_step" (opt-in approximation; see
+    # RodFSICarry.frozen_loads): per-body (forces, torques, mismatch) of
+    # the last full interaction (None entries for fixed bodies); None
+    # when the default per-substep refresh is on
+    frozen_loads: tuple | None = None
 
 
 def build_multi_body_fsi_step(
@@ -888,6 +893,7 @@ def build_multi_body_fsi_step(
     sub_dt: float | None = None,
     max_substeps: int | None = None,
     sparse_forcing: bool | None = None,
+    substep_load_refresh: str = "every",
 ):
     """One fused coupled step for ANY mix of immersed bodies: Cosserat
     rods, dynamic rigid bodies, fixed rigid bodies (BASELINE config 5,
@@ -954,6 +960,12 @@ def build_multi_body_fsi_step(
     bodies = tuple(bodies)
     if not bodies:
         raise ValueError("bodies must be non-empty")
+    if substep_load_refresh not in ("every", "flow_step"):
+        raise ValueError(
+            "substep_load_refresh must be 'every' or 'flow_step', got "
+            f"{substep_load_refresh!r}"
+        )
+    frozen_mode = substep_load_refresh == "flow_step"
     substepped = [
         isinstance(b, (RodBody, DynamicRigidBody)) for b in bodies
     ]
@@ -1071,15 +1083,22 @@ def build_multi_body_fsi_step(
             )
             return lag_forcing, mismatch, start, mats, ok
 
-    def body_substep(i, spec, state, vb, velocity_field, t, dt_sub):
+    def body_substep(i, spec, state, vb, velocity_field, t, dt_sub,
+                     frozen_i=None):
         """One substep of body i; returns (state, vb, window_ok)."""
         grid = spec.interactor.forcing_grid
         params = spec.interactor.params
-        if sparse:
+        if frozen_mode:
+            # opt-in approximation: the last full interaction's loads,
+            # frozen through the substeps (O(flow_dt) forcing lag)
+            forces, torques, mismatch = frozen_i
+            ok = jnp.asarray(True)
+        elif sparse:
             lag_forcing, mismatch, _, _, ok = windowed_interaction(
                 i, vb, velocity_field,
                 grid.lag_positions(state), grid.lag_velocities(state),
             )
+            forces, torques = grid.body_loads(state, lag_forcing)
         else:
             interaction = compute_interaction_force_on_lag_grid(
                 vb, velocity_field, grid.lag_positions(state),
@@ -1088,7 +1107,7 @@ def build_multi_body_fsi_step(
             lag_forcing = interaction.lag_forcing
             mismatch = interaction.velocity_mismatch
             ok = jnp.asarray(True)
-        forces, torques = grid.body_loads(state, lag_forcing)
+            forces, torques = grid.body_loads(state, lag_forcing)
         if isinstance(spec, RodBody):
             pdtype = state.position.dtype
             state = rod_steps[i](
@@ -1123,7 +1142,14 @@ def build_multi_body_fsi_step(
 
     def step(carry: MultiBodyFSICarry):
         (flow_state, body_states, vb_states, prev_mis, time, greens,
-         u_l1) = carry
+         u_l1, frozen) = carry
+        if frozen_mode and frozen is None:
+            raise ValueError(
+                "substep_load_refresh='flow_step' needs the frozen-loads "
+                "carry leaves - build the carry with "
+                "init_multi_body_fsi_carry(flow_sim, bodies, step) "
+                "passing THIS step"
+            )
         dt = flow_dt(u_l1)
         real_t = flow_state.velocity_field.dtype
 
@@ -1149,6 +1175,7 @@ def build_multi_body_fsi_step(
                             s, vb, sub_ok = body_substep(
                                 i, spec, states[i], vbs[i],
                                 flow_state.velocity_field, t, dt_sub,
+                                frozen[i] if frozen_mode else None,
                             )
                             ok = ok & sub_ok
                         else:
@@ -1176,6 +1203,7 @@ def build_multi_body_fsi_step(
         # added straight into the vorticity (curl is linear; overlapping
         # body windows compose exactly)
         new_vbs, new_prev, lag_sums = [], [], []
+        new_frozen = []
         if sparse:
             field = flow_state.primary_field
         else:
@@ -1218,6 +1246,11 @@ def build_multi_body_fsi_step(
             # float32 flow must not promote the carry leaf mid-scan
             new_prev.append(mismatch.astype(prev_mis[i].dtype))
             lag_sums.append(jnp.sum(lag_forcing, axis=1))
+            if frozen_mode and substepped[i]:
+                nf, nt = grid.body_loads(body_states[i], lag_forcing)
+                new_frozen.append((nf, nt, mismatch))
+            else:
+                new_frozen.append(None)
 
         fsv = jnp.asarray(
             free_stream_fn(time)
@@ -1240,11 +1273,42 @@ def build_multi_body_fsi_step(
             time + dt,
             greens,
             new_l1 if new_l1 is not None else u_l1,
+            tuple(new_frozen) if frozen_mode else None,
         )
         diag = tuple(lag_sums)
         return new_carry, (diag, windows_ok) if sparse else diag
 
     step.uses_sparse_forcing = sparse
+    step.uses_frozen_loads = frozen_mode
+    if frozen_mode:
+        def _frozen_loads_template(body_states, vb_states, velocity_field):
+            # shapes/dtypes of the per-body frozen loads the step stores
+            # (init_multi_body_fsi_carry eval_shapes this for the zero
+            # init; fixed bodies carry None)
+            out = []
+            for i, spec in enumerate(bodies):
+                if not substepped[i]:
+                    out.append(None)
+                    continue
+                grid = spec.interactor.forcing_grid
+                params = spec.interactor.params
+                pos = grid.lag_positions(body_states[i])
+                vel = grid.lag_velocities(body_states[i])
+                if sparse:
+                    lag_forcing, mismatch, _, _, _ = windowed_interaction(
+                        i, vb_states[i], velocity_field, pos, vel
+                    )
+                else:
+                    interaction = compute_interaction_force_on_lag_grid(
+                        vb_states[i], velocity_field, pos, vel, params
+                    )
+                    lag_forcing = interaction.lag_forcing
+                    mismatch = interaction.velocity_mismatch
+                nf, nt = grid.body_loads(body_states[i], lag_forcing)
+                out.append((nf, nt, mismatch))
+            return tuple(out)
+
+        step._frozen_loads_template = _frozen_loads_template
     return step
 
 
@@ -1277,6 +1341,15 @@ def init_multi_body_fsi_carry(flow_sim, bodies, step=None) -> MultiBodyFSICarry:
                 flow_state.eul_grid_forcing_field.dtype,
             )
         )
+    frozen = None
+    if getattr(step, "uses_frozen_loads", False):
+        tmpl = jax.eval_shape(
+            step._frozen_loads_template,
+            tuple(body_states), tuple(vb_states), flow_sim.velocity_field,
+        )
+        frozen = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), tmpl
+        )
     carry = MultiBodyFSICarry(
         flow_state=flow_state,
         body_states=tuple(body_states),
@@ -1285,6 +1358,7 @@ def init_multi_body_fsi_carry(flow_sim, bodies, step=None) -> MultiBodyFSICarry:
         time=jnp.asarray(flow_sim.time, flow_sim.real_t),
         greens=flow_sim._poisson_greens,
         velocity_l1_max=velocity_l1_max(flow_sim.velocity_field),
+        frozen_loads=frozen,
     )
     return _canonicalize_carry_shardings(carry, flow_sim.mesh)
 

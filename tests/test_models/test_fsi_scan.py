@@ -1262,3 +1262,84 @@ def test_rod_substep_load_refresh_modes():
     assert np.abs(w_fd - w_e).max() > 0
     with pytest.raises(ValueError, match="substep_load_refresh"):
         run("sometimes", False)
+
+
+def test_multi_body_substep_load_refresh_modes():
+    """Round 5: the multi-body builder's substep_load_refresh='flow_step'
+    (opt-in frozen-loads approximation, mirroring the rod builder's)
+    runs finite, needs the step-aware carry, keeps sparse == dense at
+    machine epsilon, and genuinely differs from the default."""
+    from sopht_mpi_tpu.models import (
+        CosseratRodSurfaceForcingGrid,
+        FixedRigidBody,
+        RodBody,
+        Sphere,
+        SphereForcingGrid,
+        UnboundedFlowSimulator3D,
+        build_multi_body_fsi_step,
+        init_multi_body_fsi_carry,
+    )
+
+    def case(mode, sparse):
+        real_t = jnp.float64
+        flow_sim = UnboundedFlowSimulator3D(
+            grid_size=(32, 32, 32), x_range=1.0, kinematic_viscosity=1e-3,
+            flow_type="navier_stokes_with_forcing",
+            with_free_stream_flow=True, real_t=real_t,
+        )
+        flow_sim.velocity_field = flow_sim.velocity_field + 1.0
+        rod = CosseratRod.straight_rod(
+            5, np.array([0.3, 0.4, 0.6]), np.array([0.0, 0.0, -1.0]),
+            np.array([0.0, 1.0, 0.0]), base_length=0.25, base_radius=0.02,
+            density=1e3, youngs_modulus=1e5, shear_modulus=1e5 / 1.5,
+        )
+        col = BaseSystemCollection()
+        col.append(rod)
+        col.constrain(rod).using(
+            OneEndFixedBC, constrained_position_idx=(0,),
+            constrained_director_idx=(0,),
+        )
+        col.finalize()
+        rint = CosseratRodFlowInteraction(
+            flow_sim=flow_sim, cosserat_rod=rod,
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+            forcing_grid_cls=CosseratRodSurfaceForcingGrid,
+            surface_grid_density_for_largest_element=4,
+        )
+        sph = Sphere(
+            center=np.array([0.7, 0.5, 0.5]), radius=0.1, dtype=real_t
+        )
+        sint = RigidBodyFlowInteraction(
+            flow_sim=flow_sim, rigid_body=sph,
+            forcing_grid=SphereForcingGrid(
+                rigid_body=sph, num_forcing_points_along_equator=12
+            ),
+            virtual_boundary_stiffness_coeff=-1e3,
+            virtual_boundary_damping_coeff=-1e0,
+        )
+        bodies = (RodBody(rint, col), FixedRigidBody(sint))
+        step = build_multi_body_fsi_step(
+            flow_sim, bodies, dt_prefac=0.5, substeps=2,
+            free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], real_t),
+            sparse_forcing=sparse, substep_load_refresh=mode,
+        )
+        if mode == "flow_step":
+            with pytest.raises(ValueError, match="frozen-loads"):
+                scan_steps(
+                    step, init_multi_body_fsi_carry(flow_sim, bodies), 1
+                )
+        carry = init_multi_body_fsi_carry(flow_sim, bodies, step)
+        carry, _ = scan_steps(step, carry, 3)
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.body_states[0].position[:, -1]),
+        )
+
+    w_e, _ = case("every", None)
+    w_f, tip_f = case("flow_step", None)
+    w_fd, tip_fd = case("flow_step", False)
+    assert np.isfinite(w_f).all()
+    np.testing.assert_allclose(w_f, w_fd, atol=1e-13)
+    np.testing.assert_allclose(tip_f, tip_fd, atol=1e-14)
+    assert np.abs(w_f - w_e).max() > 0
