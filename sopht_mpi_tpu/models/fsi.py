@@ -32,6 +32,23 @@ from sopht_mpi_tpu.ops.virtual_boundary import (
     virtual_boundary_time_step,
 )
 
+# substep_interp="auto" crossover: the windowed separable-matmul E->L
+# costs O(n_markers * window_cells) MACs per substep while the plain XLA
+# gather reads only n_markers * (2w)^3 cells of the (frozen) full field,
+# independent of the window - so large enough windows favor the gather.
+# Measured on one v5e chip (doc/probe_e2l_substep_ab.py): 373k-cell
+# window, 4.6k markers -> mm ~2x faster than gather (round-2
+# measurement, ibm.py axis_delta_weight_matrices docstring); 2.1M-cell
+# window / 2.56k markers (the 256^3-class rod bench shapes) -> mm STILL
+# faster, 1.60 vs 2.03 ms/call - TPU gather overhead is near-flat in the
+# window but large. Linear-in-window mm cost through the measured points
+# puts the crossover at ~2.7M cells; "auto" flips to the gather above
+# 3M (the 512^3-class rod reach window is ~16.7M cells, where the
+# extrapolated mm cost is ~13 ms/call vs the ~2 ms flat gather). The
+# gather path is meshless-only (on a sharded field XLA would all-gather
+# the operand per substep).
+_GATHER_SUBSTEP_WINDOW_CELLS = 3_000_000
+
 
 class RigidFSICarry(NamedTuple):
     flow_state: object
@@ -546,6 +563,7 @@ def build_rod_fsi_step(
     max_rod_substeps: int | None = None,
     sparse_forcing_window: tuple[int, int, int] | None = None,
     substep_load_refresh: str = "every",
+    substep_interp: str = "auto",
 ):
     """One fused coupled step for a two-way coupled Cosserat rod.
 
@@ -605,7 +623,26 @@ def build_rod_fsi_step(
     window_ok)``: ``window_ok`` is False on any step whose support did not
     fit the window (forcing then clipped - enlarge the window). Check it
     at scan-window boundaries.
+
+    ``substep_interp`` picks how the SUBSTEPS' E->L velocity
+    interpolation runs on the sparse path (the flow velocity is frozen
+    during the substeps, so this is a pure perf choice - both produce the
+    delta-kernel weights at the current rod positions, identical modulo
+    float summation order): ``"window_mm"`` = the windowed separable
+    matmul (O(n * window_cells) per substep; the only option under a
+    mesh, where it is the collective-lean shard-local contraction);
+    ``"gather"`` = plain XLA gather of each marker's (2w)^dim support
+    from the full field (window-size independent; meshless only);
+    ``"auto"`` (default) = gather when meshless and the window has >=
+    ``_GATHER_SUBSTEP_WINDOW_CELLS`` cells. The post-substep spread is
+    always the windowed mm (TPU scatter over colliding marker supports
+    serializes; ibm.py axis_delta_weight_matrices).
     """
+    if substep_interp not in ("auto", "window_mm", "gather"):
+        raise ValueError(
+            "substep_interp must be 'auto', 'window_mm' or 'gather', got "
+            f"{substep_interp!r}"
+        )
     if substep_load_refresh not in ("every", "flow_step"):
         raise ValueError(
             "substep_load_refresh must be 'every' or 'flow_step', got "
@@ -648,6 +685,19 @@ def build_rod_fsi_step(
             )
         Wz, Wy, Wx = (int(w) for w in sparse_forcing_window)
         flow_step_l1 = flow_sim._step_l1_noforcing_fn.__wrapped__
+        if substep_interp == "gather" and flow_sim.mesh is not None:
+            raise ValueError(
+                "substep_interp='gather' needs an unsharded simulator "
+                "(XLA would all-gather the sharded velocity field per "
+                "substep gather); use 'window_mm' or 'auto' under a mesh"
+            )
+        gather_substeps = substep_interp == "gather" or (
+            substep_interp == "auto"
+            and flow_sim.mesh is None
+            and Wz * Wy * Wx >= _GATHER_SUBSTEP_WINDOW_CELLS
+        )
+    else:
+        gather_substeps = False
 
     def rod_flow_loads(rod_state, vb_state, velocity_field):
         interaction = compute_interaction_force_on_lag_grid(
@@ -715,7 +765,7 @@ def build_rod_fsi_step(
                     # opt-in approximation: substeps apply the LAST full
                     # interaction's loads, frozen (O(flow_dt) forcing lag)
                     forces, torques, mismatch = frozen
-                elif sparse:
+                elif sparse and not gather_substeps:
                     forces, torques, mismatch, sub_ok = (
                         rod_flow_loads_windowed(
                             rod_state, vb_state, flow_state.velocity_field
@@ -894,6 +944,7 @@ def build_multi_body_fsi_step(
     max_substeps: int | None = None,
     sparse_forcing: bool | None = None,
     substep_load_refresh: str = "every",
+    substep_interp: str = "auto",
 ):
     """One fused coupled step for ANY mix of immersed bodies: Cosserat
     rods, dynamic rigid bodies, fixed rigid bodies (BASELINE config 5,
@@ -931,6 +982,10 @@ def build_multi_body_fsi_step(
     Substep control matches :func:`build_rod_fsi_step`: static
     (``substeps=k``) or dynamic (``sub_dt=...`` + optional
     ``max_substeps``); with no substepped bodies both may be omitted.
+    ``substep_interp`` also matches :func:`build_rod_fsi_step`, applied
+    per body ("auto" flips each body independently by ITS window size -
+    typically the rods' reach windows gather while compact rigid-body
+    windows keep the mm).
 
     ``sparse_forcing`` (round 5): per-BODY sparse IBM forcing windows.
     None = auto - on a 3D ``navier_stokes_with_forcing`` simulator
@@ -960,6 +1015,11 @@ def build_multi_body_fsi_step(
     bodies = tuple(bodies)
     if not bodies:
         raise ValueError("bodies must be non-empty")
+    if substep_interp not in ("auto", "window_mm", "gather"):
+        raise ValueError(
+            "substep_interp must be 'auto', 'window_mm' or 'gather', got "
+            f"{substep_interp!r}"
+        )
     if substep_load_refresh not in ("every", "flow_step"):
         raise ValueError(
             "substep_load_refresh must be 'every' or 'flow_step', got "
@@ -1052,6 +1112,28 @@ def build_multi_body_fsi_step(
             "windows each under 70% of the grid)"
         )
     sparse = body_windows is not None
+    if substep_interp == "gather" and sparse and flow_sim.mesh is not None:
+        raise ValueError(
+            "substep_interp='gather' needs an unsharded simulator "
+            "(XLA would all-gather the sharded velocity field per "
+            "substep gather); use 'window_mm' or 'auto' under a mesh"
+        )
+    # per-BODY substep E->L choice (same crossover as build_rod_fsi_step:
+    # a small rigid-body window keeps the mm, a rod-reach window flips to
+    # the gather); spread stays windowed-mm either way
+    gather_sub = tuple(
+        sparse
+        and (
+            substep_interp == "gather"
+            or (
+                substep_interp == "auto"
+                and flow_sim.mesh is None
+                and body_windows[i][0] * body_windows[i][1]
+                * body_windows[i][2] >= _GATHER_SUBSTEP_WINDOW_CELLS
+            )
+        )
+        for i in range(len(bodies))
+    )
     if sparse:
         from sopht_mpi_tpu.ops.ibm import lagrangian_to_eulerian_spread_mm
         from sopht_mpi_tpu.ops.stencils_3d import curl_3d
@@ -1093,7 +1175,7 @@ def build_multi_body_fsi_step(
             # frozen through the substeps (O(flow_dt) forcing lag)
             forces, torques, mismatch = frozen_i
             ok = jnp.asarray(True)
-        elif sparse:
+        elif sparse and not gather_sub[i]:
             lag_forcing, mismatch, _, _, ok = windowed_interaction(
                 i, vb, velocity_field,
                 grid.lag_positions(state), grid.lag_velocities(state),

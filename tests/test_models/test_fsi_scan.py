@@ -975,7 +975,7 @@ def test_fsi_scan_gradient_assimilates_initial_condition():
 # -- round 5: sparse-window IBM under a mesh (rod + multi-body) --------------
 
 
-def _rod_3d_case(mesh, sparse, real_t=jnp.float64):
+def _rod_3d_case(mesh, sparse, real_t=jnp.float64, **step_kwargs):
     """Small 3D rod FSI case; returns (step, carry, sparse_engaged)."""
     from sopht_mpi_tpu.models import (
         CosseratRodSurfaceForcingGrid,
@@ -1027,14 +1027,15 @@ def _rod_3d_case(mesh, sparse, real_t=jnp.float64):
     )
     if sparse:
         assert win is not None
+    step_kwargs.setdefault("rod_substeps", 1)
     step = build_rod_fsi_step(
         flow_sim,
         interactor,
         collection,
-        rod_substeps=1,
         dt_prefac=0.5,
         free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], real_t),
         sparse_forcing_window=win,
+        **step_kwargs,
     )
     return step, init_rod_fsi_carry(flow_sim, interactor, rod)
 
@@ -1071,7 +1072,7 @@ def test_rod_fsi_sparse_window_matches_dense_sharded():
         np.testing.assert_allclose(tip_sp, tip_ml, atol=1e-14)
 
 
-def _multibody_3d_case(mesh, sparse, real_t=jnp.float64):
+def _multibody_3d_case(mesh, sparse, real_t=jnp.float64, **step_kwargs):
     from sopht_mpi_tpu.models import (
         CosseratRodSurfaceForcingGrid,
         FixedRigidBody,
@@ -1133,13 +1134,14 @@ def _multibody_3d_case(mesh, sparse, real_t=jnp.float64):
         virtual_boundary_damping_coeff=-1e0,
     )
     bodies = (RodBody(rod_interactor, collection), FixedRigidBody(sph_interactor))
+    step_kwargs.setdefault("substeps", 1)
     step = build_multi_body_fsi_step(
         flow_sim,
         bodies,
         dt_prefac=0.5,
-        substeps=1,
         free_stream_fn=lambda t: jnp.asarray([1.0, 0.0, 0.0], real_t),
         sparse_forcing=sparse,
+        **step_kwargs,
     )
     assert getattr(step, "uses_sparse_forcing") == (sparse is not False)
     return step, init_multi_body_fsi_carry(flow_sim, bodies, step)
@@ -1343,3 +1345,60 @@ def test_multi_body_substep_load_refresh_modes():
     np.testing.assert_allclose(w_f, w_fd, atol=1e-13)
     np.testing.assert_allclose(tip_f, tip_fd, atol=1e-14)
     assert np.abs(w_f - w_e).max() > 0
+
+
+def test_substep_interp_gather_matches_window_mm():
+    """Round 5: substep_interp='gather' (plain XLA support-gather of the
+    frozen velocity field inside the substeps - the large-window fast
+    path; fsi._GATHER_SUBSTEP_WINDOW_CELLS crossover) produces the same
+    trajectory as 'window_mm' to f64 roundoff on both the sparse rod and
+    sparse multi-body steps (the weights are identical; only the
+    summation order differs), and the guards are loud: an unknown value
+    raises, and 'gather' under a mesh raises (XLA would all-gather the
+    sharded operand per substep)."""
+    from sopht_mpi_tpu.parallel import create_mesh
+
+    def run_rod(interp):
+        step, carry = _rod_3d_case(
+            None, True, rod_substeps=2, substep_interp=interp
+        )
+        carry, (forces, ok) = scan_steps(step, carry, 4)
+        assert bool(jnp.all(ok))
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.rod_state.position[:, -1]),
+            np.asarray(forces),
+        )
+
+    w_mm, tip_mm, f_mm = run_rod("window_mm")
+    w_g, tip_g, f_g = run_rod("gather")
+    assert np.abs(w_mm).max() > 0
+    np.testing.assert_allclose(w_g, w_mm, atol=1e-13)
+    np.testing.assert_allclose(tip_g, tip_mm, atol=1e-14)
+    np.testing.assert_allclose(f_g, f_mm, atol=1e-12)
+
+    def run_mb(interp):
+        step, carry = _multibody_3d_case(
+            None, True, substeps=2, substep_interp=interp
+        )
+        carry, (sums, ok) = scan_steps(step, carry, 3)
+        assert bool(jnp.all(ok))
+        return (
+            np.asarray(carry.flow_state.primary_field),
+            np.asarray(carry.body_states[0].position[:, -1]),
+        )
+
+    wb_mm, tipb_mm = run_mb("window_mm")
+    wb_g, tipb_g = run_mb("gather")
+    np.testing.assert_allclose(wb_g, wb_mm, atol=1e-13)
+    np.testing.assert_allclose(tipb_g, tipb_mm, atol=1e-14)
+
+    with pytest.raises(ValueError, match="substep_interp"):
+        _rod_3d_case(None, True, substep_interp="sometimes")
+    with pytest.raises(ValueError, match="substep_interp"):
+        _multibody_3d_case(None, True, substep_interp="sometimes")
+    mesh = create_mesh(3, (4, 2))
+    with pytest.raises(ValueError, match="unsharded"):
+        _rod_3d_case(mesh, True, substep_interp="gather")
+    with pytest.raises(ValueError, match="unsharded"):
+        _multibody_3d_case(mesh, True, substep_interp="gather")
